@@ -1,0 +1,22 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real-TPU execution is exercised by bench.py and __graft_entry__.py; unit and
+parity tests run on CPU so they are hermetic and exercise multi-chip sharding
+via xla_force_host_platform_device_count.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import random
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(1234)
