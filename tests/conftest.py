@@ -3,14 +3,21 @@
 Real-TPU execution is exercised by bench.py and __graft_entry__.py; unit and
 parity tests run on CPU so they are hermetic and exercise multi-chip sharding
 via xla_force_host_platform_device_count.
+
+Note: the environment may pre-import jax (sitecustomize) with a TPU platform
+pinned via JAX_PLATFORMS, so we override through jax.config, which takes
+effect as long as no backend has been initialized yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 

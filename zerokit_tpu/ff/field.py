@@ -1,0 +1,295 @@
+"""Batched big-integer Montgomery field arithmetic for TPU (JAX).
+
+This replaces ark-ff's BN254 Fr/Fq arithmetic (used everywhere in the
+reference, e.g. rln/src/circuit/mod.rs:91-94) with a TPU-native formulation:
+
+  * A field element is 16 little-endian limbs of 16 bits stored in uint32.
+  * Limbs live on axis 0; arbitrary batch dims trail:  shape (16, *batch).
+    With batch in the minor dimensions the VPU processes 8x128 elements per
+    op and every limb op is a full-width vector op.
+  * 16-bit limbs make every partial product exact in uint32 (16x16 -> 32)
+    with no widening multiplies or carry flags, which TPUs don't have.
+  * The 256 partial products of a multiply are formed as ONE broadcast outer
+    product (16,16,batch), split lo/hi, and summed along anti-diagonals with
+    a pad+reshape skew (a relayout, not a gather), keeping the op count per
+    field-mul tiny (fast XLA compile, good fusion) and the work vectorized.
+  * Column accumulators stay < 2^21 (16 terms of < 2^16 each), then a single
+    lax.scan ripple-carry normalizes to 16-bit limbs.
+  * Montgomery (SOS) reduction, R = 2^256: u = (t + ((t mod R)*n' mod R)*p)/R.
+
+All functions are pure jnp and jit/vmap/shard_map-compatible. Hot paths can be
+further specialized in Pallas kernels; this module is the portable
+implementation and the building block for NTT/MSM/Poseidon/witness-eval.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import LIMB_BITS, LIMB_MASK, MONT_R, NUM_LIMBS, Q, R
+
+U32 = jnp.uint32
+_MASK = np.uint32(LIMB_MASK)
+L = NUM_LIMBS  # 16
+
+
+def int_to_limbs(x: int, n: int = NUM_LIMBS) -> np.ndarray:
+    return np.array([(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(n)], dtype=np.uint32)
+
+
+def limbs_to_int(limbs) -> int:
+    arr = np.asarray(limbs)
+    return sum(int(arr[i]) << (LIMB_BITS * i) for i in range(arr.shape[0]))
+
+
+class FieldSpec:
+    """Constants for one prime field (Fr or Fq) in limb form."""
+
+    def __init__(self, p: int):
+        self.p = p
+        self.r_mod = MONT_R % p
+        self.r2_mod = (MONT_R * MONT_R) % p
+        self.ninv = (-pow(p, -1, MONT_R)) % MONT_R
+        self.p_limbs = int_to_limbs(p)
+        self.ninv_limbs = int_to_limbs(self.ninv)
+        self.one_mont = int_to_limbs(self.r_mod)  # 1 in Montgomery form
+        self.r2_limbs = int_to_limbs(self.r2_mod)
+        self.zero = np.zeros(NUM_LIMBS, dtype=np.uint32)
+
+    # -- host-side conversions ----------------------------------------------
+
+    def to_mont_int(self, x: int) -> int:
+        return (x * MONT_R) % self.p
+
+    def from_mont_int(self, x: int) -> int:
+        return (x * pow(MONT_R, -1, self.p)) % self.p
+
+    def encode(self, xs, mont: bool = True) -> np.ndarray:
+        """Python ints -> limb array of shape (16, *np.shape(xs))."""
+        flat = np.asarray(xs, dtype=object).reshape(-1)
+        out = np.zeros((NUM_LIMBS, flat.shape[0]), dtype=np.uint32)
+        for j, v in enumerate(flat):
+            val = self.to_mont_int(int(v)) if mont else int(v) % self.p
+            for i in range(NUM_LIMBS):
+                out[i, j] = (val >> (LIMB_BITS * i)) & LIMB_MASK
+        return out.reshape((NUM_LIMBS,) + np.shape(xs))
+
+    def decode(self, limbs, mont: bool = True) -> np.ndarray:
+        """Limb array (16, *batch) -> object array of Python ints (*batch)."""
+        arr = np.asarray(limbs)
+        batch_shape = arr.shape[1:]
+        flat = arr.reshape(NUM_LIMBS, -1)
+        out = np.empty(flat.shape[1], dtype=object)
+        for j in range(flat.shape[1]):
+            val = sum(int(flat[i, j]) << (LIMB_BITS * i) for i in range(NUM_LIMBS))
+            out[j] = self.from_mont_int(val) if mont else val
+        return out.reshape(batch_shape)
+
+
+FR = FieldSpec(R)
+FQ = FieldSpec(Q)
+
+
+# ---------------------------------------------------------------------------
+# core limb helpers. Internal convention: (limbs, *batch) uint32 arrays.
+# ---------------------------------------------------------------------------
+
+
+def _skew_diag_sum(m: jnp.ndarray) -> jnp.ndarray:
+    """Sums anti-diagonals of m: (16, 16, *batch) -> (31, *batch).
+
+    out[k] = sum_{i+j=k} m[i, j]. Implemented by padding rows to width 32,
+    flattening the two limb axes, and re-viewing with row stride 31 so row i
+    lands shifted right by i — a pure relayout, no gathers.
+    """
+    batch = m.shape[2:]
+    mp = jnp.pad(m, ((0, 0), (0, L)) + ((0, 0),) * len(batch))  # (16, 32, *b)
+    flat = mp.reshape((L * 2 * L,) + batch)
+    skewed = flat[: L * (2 * L - 1)].reshape((L, 2 * L - 1) + batch)
+    return skewed.sum(axis=0, dtype=U32)
+
+
+def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, n_cols: int = 2 * L) -> jnp.ndarray:
+    """Column accumulators of a*b: (n_cols, *batch), each < 2^21."""
+    prod = a[:, None] * b[None, :]  # (16, 16, *batch) — exact in uint32
+    lo = prod & _MASK
+    hi = prod >> LIMB_BITS
+    slo = _skew_diag_sum(lo)  # cols 0..30
+    shi = _skew_diag_sum(hi)  # cols 1..31
+    batch = a.shape[1:]
+    z1 = jnp.zeros((1,) + batch, dtype=U32)
+    cols = jnp.concatenate([slo, z1], axis=0) + jnp.concatenate([z1, shi], axis=0)
+    return cols[:n_cols]
+
+
+def _carry_fold(cols: jnp.ndarray, n_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ripple-carry normalization: (n, *batch) columns -> (n_out 16-bit limbs,
+    leftover carry). Sequential in limbs (a lax.scan), vector across batch."""
+    n = cols.shape[0]
+    if n < n_out:
+        pad = jnp.zeros((n_out - n,) + cols.shape[1:], dtype=U32)
+        cols = jnp.concatenate([cols, pad], axis=0)
+    else:
+        cols = cols[:n_out]
+
+    def body(carry, c):
+        v = c + carry
+        return v >> LIMB_BITS, v & _MASK
+
+    carry0 = jnp.zeros(cols.shape[1:], dtype=U32)
+    carry, limbs = jax.lax.scan(body, carry0, cols)
+    return limbs, carry
+
+
+def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """a - b over 16-bit limb arrays (n, *batch); returns (limbs, borrow)."""
+
+    def body(borrow, ab):
+        ai, bi = ab
+        d = ai - bi - borrow
+        return d >> 31, d & _MASK
+
+    borrow0 = jnp.zeros(a.shape[1:], dtype=U32)
+    borrow, limbs = jax.lax.scan(body, borrow0, (a, b))
+    return limbs, borrow
+
+
+class Field:
+    """Vectorized field ops bound to one FieldSpec. Limbs axis 0, batch trails."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.p_limbs_np = spec.p_limbs
+        self._inv_exp_bits = np.array(
+            [(spec.p - 2) >> i & 1 for i in range(spec.p.bit_length())], dtype=np.uint32
+        )
+        # jit public entry points: fast eager calls, still inlineable under jit
+        for name in ("add", "sub", "neg", "mul", "sqr", "to_mont", "from_mont", "inv"):
+            setattr(self, name, jax.jit(getattr(self, name)))
+
+    def _const(self, const_np, like, n=L):
+        c = jnp.asarray(const_np, dtype=U32).reshape((n,) + (1,) * (like.ndim - 1))
+        return jnp.broadcast_to(c, (n,) + like.shape[1:])
+
+    def zero_like(self, x):
+        return jnp.zeros_like(x)
+
+    def one(self, like):
+        return self._const(self.spec.one_mont, like)
+
+    # -- add/sub/neg --------------------------------------------------------
+
+    def _cond_sub_p(self, limbs: jnp.ndarray, extra_carry=None) -> jnp.ndarray:
+        p_b = self._const(self.p_limbs_np, limbs)
+        diff, borrow = _sub_limbs(limbs, p_b)
+        use_diff = borrow == 0
+        if extra_carry is not None:
+            use_diff = jnp.logical_or(use_diff, extra_carry != 0)
+        return jnp.where(use_diff[None], diff, limbs)
+
+    def add(self, a, b):
+        limbs, carry = _carry_fold(a + b, L)
+        return self._cond_sub_p(limbs, extra_carry=carry)
+
+    def sub(self, a, b):
+        diff, borrow = _sub_limbs(a, b)
+        p_b = self._const(self.p_limbs_np, a)
+        corrected = diff + jnp.where(borrow[None] != 0, p_b, 0)
+        limbs, _ = _carry_fold(corrected, L)
+        return jnp.where(borrow[None] != 0, limbs, diff)
+
+    def neg(self, a):
+        p_b = self._const(self.p_limbs_np, a)
+        diff, _ = _sub_limbs(p_b, a)
+        z = self.is_zero(a)
+        return jnp.where(z[None], jnp.zeros_like(a), diff)
+
+    # -- Montgomery multiply / square ---------------------------------------
+
+    def _mont_reduce(self, t_cols: jnp.ndarray) -> jnp.ndarray:
+        """SOS reduction of 32 column accumulators -> 16 reduced limbs."""
+        t, t_extra = _carry_fold(t_cols, 2 * L)
+        ninv_b = self._const(self.spec.ninv_limbs, t)
+        m_cols = _mul_cols(t[:L], ninv_b, L)
+        m, _ = _carry_fold(m_cols, L)
+        p_b = self._const(self.p_limbs_np, t)
+        mp_cols = _mul_cols(m, p_b, 2 * L)
+        total = mp_cols + t  # accumulators < 2^21 + 2^16
+        folded, overflow = _carry_fold(total, 2 * L)
+        hi = folded[L:]
+        return self._cond_sub_p(hi, extra_carry=overflow + t_extra)
+
+    def mul(self, a, b):
+        return self._mont_reduce(_mul_cols(a, b, 2 * L))
+
+    def sqr(self, a):
+        return self._mont_reduce(_mul_cols(a, a, 2 * L))
+
+    def to_mont(self, a):
+        """canonical limbs -> Montgomery form (multiply by R^2)."""
+        return self.mul(a, self._const(self.spec.r2_limbs, a))
+
+    def from_mont(self, a):
+        """Montgomery form -> canonical limbs (Montgomery-reduce of a)."""
+        pad = jnp.zeros((L,) + a.shape[1:], dtype=U32)
+        return self._mont_reduce(jnp.concatenate([a, pad], axis=0))
+
+    # -- predicates ---------------------------------------------------------
+
+    def is_zero(self, a):
+        return jnp.logical_not(jnp.any(a != 0, axis=0))
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=0)
+
+    def select(self, cond, a, b):
+        """cond has the batch shape; limbwise where."""
+        return jnp.where(jnp.asarray(cond)[None], a, b)
+
+    # -- exponentiation / inversion -----------------------------------------
+
+    def pow_bits(self, a, exp_bits: np.ndarray):
+        """a^e with e given LSB-first as a host bit array; O(len) scan."""
+        bits = jnp.asarray(exp_bits, dtype=U32)
+
+        def body(carry, bit):
+            result, base = carry
+            new_result = self.mul(result, base)
+            result = jnp.where(bit != 0, new_result, result)
+            base = self.sqr(base)
+            return (result, base), None
+
+        one = self.one(a)
+        (result, _), _ = jax.lax.scan(body, (one, a), bits)
+        return result
+
+    def inv(self, a):
+        """Batched inversion via Fermat: a^(p-2). inv(0) = 0 by construction."""
+        return self.pow_bits(a, self._inv_exp_bits)
+
+    # -- canonical-form helpers (for witness bit ops) ------------------------
+
+    def canon_shift_right_const(self, canon, k: int):
+        """(canonical limbs) >> k for a Python-int shift amount."""
+        limb_off = k // LIMB_BITS
+        bit_off = k % LIMB_BITS
+        batch = canon.shape[1:]
+        zero = jnp.zeros((L,) + batch, dtype=U32)
+        shifted = jnp.concatenate([canon[limb_off:], zero], axis=0)[:L]
+        if bit_off == 0:
+            return shifted
+        nxt = jnp.concatenate([shifted[1:], jnp.zeros((1,) + batch, dtype=U32)], axis=0)
+        return ((shifted >> bit_off) | (nxt << (LIMB_BITS - bit_off))) & _MASK
+
+    def canon_lt(self, a, b):
+        """a < b on canonical limb arrays."""
+        _, borrow = _sub_limbs(a, b)
+        return borrow != 0
+
+
+FrField = Field(FR)
+FqField = Field(FQ)
