@@ -94,6 +94,27 @@ FR = FieldSpec(R)
 FQ = FieldSpec(Q)
 
 
+def encode_canonical_fast(vals) -> np.ndarray:
+    """Python ints -> canonical limb array (16, N) without per-limb Python loops.
+
+    Goes through a packed little-endian byte buffer, so the per-element Python
+    cost is a single int.to_bytes call; used for bulk host->device transfers.
+    """
+    vals = list(vals)
+    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(vals), NUM_LIMBS)
+    return np.ascontiguousarray(u16.T).astype(np.uint32)
+
+
+def decode_canonical_fast(limbs: np.ndarray) -> List[int]:
+    """Canonical limb array (16, N) -> list of Python ints (bulk, via bytes)."""
+    arr = np.ascontiguousarray(np.asarray(limbs).T.astype("<u2"))
+    raw = arr.tobytes()
+    return [
+        int.from_bytes(raw[i * 32 : (i + 1) * 32], "little") for i in range(arr.shape[0])
+    ]
+
+
 # ---------------------------------------------------------------------------
 # core limb helpers. Internal convention: (limbs, *batch) uint32 arrays.
 # ---------------------------------------------------------------------------
