@@ -1,0 +1,127 @@
+"""CircomReduction witness map (snarkjs-compatible R1CS -> QAP) on TPU.
+
+Exact semantics of the reference's CircomReduction
+(rln/src/circuit/qap.rs:30-98): evaluate the A/B constraint rows on the
+assignment, append the public inputs to A, C = A.*B on the constraint rows,
+then h = coset(AB) - coset(C) where coset(x) = fft(distribute_powers(ifft(x),
+g_2N)) — the snarkjs trick of reading H*Z off the odd powers of the 2N
+domain, expressed on the N domain shifted by the 2N root g_2N.
+
+TPU design: the sparse A/B matrices become static COO index arrays at load;
+row evaluation is one batched Montgomery multiply over all nonzeros plus a
+segment-sum with deferred modular reduction (limb sums of k terms stay exact
+in uint32 for k < 2^10; a log-k chain of conditional subtractions of shifted
+p then reduces each row).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.zkey import ConstraintMatrices
+from ..constants import NUM_LIMBS
+from ..ff.field import FR, FrField, U32, _carry_fold, _sub_limbs
+from . import ntt
+
+
+class QAPError(ValueError):
+    pass
+
+
+class SparseMatrix:
+    """COO form of one constraint matrix with Montgomery coefficients."""
+
+    def __init__(self, rows: List[List[Tuple[int, int]]], domain_size: int):
+        coo_rows, coo_wires, coeffs = [], [], []
+        max_row_nnz = 1
+        for r, row in enumerate(rows):
+            for coeff, wire in row:
+                coo_rows.append(r)
+                coo_wires.append(wire)
+                coeffs.append(coeff)
+        for r in set(coo_rows):
+            cnt = coo_rows.count(r)
+            max_row_nnz = max(max_row_nnz, cnt)
+        self.rows = np.asarray(coo_rows, dtype=np.int32)
+        self.wires = np.asarray(coo_wires, dtype=np.int32)
+        self.coeffs = np.asarray(FR.encode(coeffs), dtype=np.uint32).reshape(
+            NUM_LIMBS, len(coeffs)
+        )
+        self.domain_size = domain_size
+        self.max_row_nnz = max_row_nnz
+
+
+def _reduce_partial(limbs: jnp.ndarray, max_terms: int) -> jnp.ndarray:
+    """Reduces a (17, *batch) value < max_terms * p to < p via conditional
+    subtraction of p << j for j = ceil(log2 max_terms) .. 0."""
+    n_bits = max(1, (max_terms - 1).bit_length())
+    batch = limbs.shape[1:]
+    for j in range(n_bits, -1, -1):
+        pj = (FR.p << j)
+        pj_limbs = np.array(
+            [(pj >> (16 * i)) & 0xFFFF for i in range(limbs.shape[0])], dtype=np.uint32
+        )
+        pj_b = jnp.broadcast_to(
+            jnp.asarray(pj_limbs, U32).reshape((limbs.shape[0],) + (1,) * len(batch)),
+            limbs.shape,
+        )
+        diff, borrow = _sub_limbs(limbs, pj_b)
+        limbs = jnp.where((borrow == 0)[None], diff, limbs)
+    return limbs[:NUM_LIMBS]
+
+
+def sparse_matvec(matrix: SparseMatrix, assignment: jnp.ndarray) -> jnp.ndarray:
+    """rows_out[r] = sum coeff * z[wire] over the row's nonzeros.
+
+    assignment: (16, n_wires, B) Montgomery. Returns (16, domain_size, B).
+    """
+    z = assignment[:, jnp.asarray(matrix.wires)]  # (16, nnz, B)
+    coeffs = jnp.asarray(matrix.coeffs)[:, :, None]
+    prod = FrField.mul(z, jnp.broadcast_to(coeffs, z.shape))  # (16, nnz, B)
+    # segment-sum rows: uint32 limb sums of <= max_row_nnz terms stay exact
+    sums = jax.ops.segment_sum(
+        jnp.moveaxis(prod, 1, 0), jnp.asarray(matrix.rows), num_segments=matrix.domain_size
+    )  # (domain, 16, B)
+    sums = jnp.moveaxis(sums, 0, 1)  # (16, domain, B)
+    # 17 limbs absorb all carries: the sum is < max_row_nnz * p < 2^270
+    carry_limbs, _ = _carry_fold(sums, NUM_LIMBS + 1)
+    return _reduce_partial(carry_limbs, matrix.max_row_nnz)
+
+
+class WitnessMapper:
+    """Precompiled witness map for one circuit's constraint matrices."""
+
+    def __init__(self, matrices: ConstraintMatrices):
+        self.num_constraints = matrices.num_constraints
+        self.num_inputs = matrices.num_instance_variables
+        self.domain_size = ntt.domain_size_for(self.num_constraints + self.num_inputs)
+        self.a = SparseMatrix(matrices.a, self.domain_size)
+        self.b = SparseMatrix(matrices.b, self.domain_size)
+        self.root_2n = ntt.coset_root_2n(self.domain_size)
+        self._jit = jax.jit(self._witness_map)
+
+    def _coset_lift(self, evals: jnp.ndarray) -> jnp.ndarray:
+        poly = ntt.ifft(evals)
+        shifted = ntt.distribute_powers(poly, self.root_2n)
+        return ntt.fft(shifted)
+
+    def _witness_map(self, assignment: jnp.ndarray) -> jnp.ndarray:
+        a = sparse_matvec(self.a, assignment)
+        b = sparse_matvec(self.b, assignment)
+        # a[num_constraints .. num_constraints+num_inputs] = public inputs
+        pub = assignment[:, : self.num_inputs]
+        a = jax.lax.dynamic_update_slice_in_dim(a, pub, self.num_constraints, axis=1)
+        c = FrField.mul(a, b)  # only rows < num_constraints are meaningful;
+        # rows beyond have b == 0 there, so c is 0 as the reference requires
+        ab = FrField.mul(self._coset_lift(a), self._coset_lift(b))
+        h = FrField.sub(ab, self._coset_lift(c))
+        return h
+
+    def witness_map(self, assignment: jnp.ndarray) -> jnp.ndarray:
+        """assignment: (16, n_wires, B) Montgomery -> h: (16, domain, B)."""
+        return self._jit(assignment)
