@@ -48,6 +48,57 @@ def _one_mont(adapter, like):
     return jnp.asarray(one)
 
 
+def msm_accumulate(adapter, points, scalars):
+    """Pure traceable MSM core: windowed bucket accumulation over all points.
+
+    points: (16, C, 2, n) affine Montgomery; scalars: (16, n, B) canonical.
+    Returns Jacobian accumulators (16, C, 3, B). Composable under jit /
+    shard_map (the multi-chip MSM shards the n axis and adds the partial
+    accumulators across devices).
+    """
+    cv = CurveOps(adapter)
+    batch = scalars.shape[2]
+    one = _one_mont(adapter, jnp.zeros((NUM_LIMBS, adapter.components, batch), dtype=U32))
+
+    def window_body(acc, w):
+        limb_idx = w // 2
+        shift = (w % 2) * 8
+        digit_row = (jnp.take(scalars, limb_idx, axis=0) >> shift) & np.uint32(0xFF)
+
+        buckets = jnp.zeros(
+            (NUM_LIMBS, adapter.components, 3, N_BUCKETS, batch), dtype=U32
+        )
+
+        def acc_body(buckets, inputs):
+            pt, digits = inputs
+            d = digits[None, None, None, None, :]
+            cur = jnp.take_along_axis(buckets, d.astype(jnp.int32), axis=3)[:, :, :, 0]
+            q = jnp.broadcast_to(pt[:, :, :, None], cur[:, :, 0:2].shape)
+            new = cv.add_mixed(cur, q, one)
+            return _scatter_bucket(buckets, digits, new), None
+
+        pts_scan = jnp.moveaxis(points, 3, 0)  # (n, 16, C, 2)
+        buckets, _ = jax.lax.scan(acc_body, buckets, (pts_scan, digit_row))
+
+        def suffix_body(carry, bucket):
+            running, total = carry
+            running = cv.add(running, bucket)
+            total = cv.add(total, running)
+            return (running, total), None
+
+        buckets_rev = jnp.moveaxis(buckets, 3, 0)[::-1][:-1]
+        zero = jnp.zeros((NUM_LIMBS, adapter.components, 3, batch), dtype=U32)
+        (_, s_w), _ = jax.lax.scan(suffix_body, (zero, zero), buckets_rev)
+
+        acc = jax.lax.fori_loop(0, C_BITS, lambda _, a: cv.double(a), acc)
+        return cv.add(acc, s_w)
+
+    acc0 = jnp.zeros((NUM_LIMBS, adapter.components, 3, batch), dtype=U32)
+    return jax.lax.fori_loop(
+        0, N_WINDOWS, lambda i, a: window_body(a, N_WINDOWS - 1 - i), acc0
+    )
+
+
 class MSM:
     """MSM over one base set. adapter = FqAdapter (G1) or Fq2Adapter (G2)."""
 
@@ -73,59 +124,8 @@ class MSM:
             enc = adapter.encode(flat)  # (16, 2, 2n)
         enc = np.asarray(enc).reshape(NUM_LIMBS, adapter.components, self.n, 2)
         self.points = jnp.asarray(np.moveaxis(enc, 3, 2))  # (16, C, 2, n)
-        self._window_fn = jax.jit(self._run_window)
+        self._msm_fn = jax.jit(functools.partial(msm_accumulate, adapter))
         self._finish_fn = jax.jit(self._finish)
-
-    # -- per-window bucket accumulation -------------------------------------
-
-    def _run_window(self, acc, scalars, w):
-        """acc: (16,C,3,B) jac; scalars: (16,n,B) canonical; w: () int32."""
-        cv = self.curve
-        batch = scalars.shape[2]
-        limb_idx = w // 2
-        shift = (w % 2) * 8
-        digit_row = (
-            jnp.take(scalars, limb_idx, axis=0) >> shift
-        ) & np.uint32(0xFF)  # (n, B)
-
-        buckets = jnp.zeros(
-            (NUM_LIMBS, self.adapter.components, 3, N_BUCKETS, batch), dtype=U32
-        )
-        one = _one_mont(self.adapter, buckets[:, :, 0, 0])
-
-        def body(buckets, inputs):
-            pt, digits = inputs  # pt: (16,C,2); digits: (B,)
-            d = digits[None, None, None, None, :]  # for take_along_axis
-            cur = jnp.take_along_axis(buckets, d.astype(jnp.int32), axis=3)[:, :, :, 0]
-            q = jnp.broadcast_to(pt[:, :, :, None], cur[:, :, 0:2].shape)
-            new = cv.add_mixed(cur, q, one)
-            buckets = _scatter_bucket(buckets, digits, new)
-            return buckets, None
-
-        pts_scan = jnp.moveaxis(self.points, 3, 0)  # (n, 16, C, 2)
-        digits_scan = digit_row  # (n, B)
-        buckets, _ = jax.lax.scan(
-            lambda b, x: body(b, (jnp.moveaxis(x[0], 0, 0), x[1])),
-            buckets,
-            (pts_scan, digits_scan),
-        )
-        # weighted reduction: S = sum_{j>=1} j * B_j via double suffix sums
-        def suffix_body(carry, bucket):
-            running, total = carry
-            running = cv.add(running, bucket)
-            total = cv.add(total, running)
-            return (running, total), None
-
-        # iterate buckets j = 255 .. 1
-        buckets_rev = jnp.moveaxis(buckets, 3, 0)[::-1][:-1]  # (255, 16, C, 3, B)
-        zero = jnp.zeros((NUM_LIMBS, self.adapter.components, 3, batch), dtype=U32)
-        (_, s_w), _ = jax.lax.scan(suffix_body, (zero, zero), buckets_rev)
-
-        # acc = 2^8 * acc + S_w
-        for _ in range(C_BITS):
-            acc = cv.double(acc)
-        acc = cv.add(acc, s_w)
-        return acc
 
     def _finish(self, acc):
         return self.curve.to_affine(acc)
@@ -143,11 +143,7 @@ class MSM:
         scalars = jnp.asarray(scalars_canon)
         if mask is not None:
             scalars = jnp.where(jnp.asarray(mask)[None], scalars, 0)
-        batch = scalars.shape[2]
-        acc = jnp.zeros((NUM_LIMBS, self.adapter.components, 3, batch), dtype=U32)
-        for w in range(N_WINDOWS - 1, -1, -1):
-            acc = self._window_fn(acc, scalars, jnp.int32(w))
-        return acc
+        return self._msm_fn(self.points, scalars)
 
     def to_affine_ints(self, acc):
         """Jacobian accumulators -> list of host affine points (None = inf)."""

@@ -1,0 +1,208 @@
+"""Groth16 prover: batched full proving + two-phase partial/finish on TPU.
+
+Semantics parity:
+  * full prove — ark-groth16 create_proof_with_reduction_and_matrices with
+    CircomReduction (reference call site rln/src/protocol/proof.rs:721,766):
+        g_a  = alpha + sum_i z_i A_i + r delta_1
+        g1_b = beta_1 + sum_i z_i B1_i + s delta_1   (zero when r == 0)
+        g2_b = beta_2 + sum_i z_i B2_i + s delta_2
+        g_c  = s g_a + r g1_b - rs delta_1 + sum_aux z L + sum h_i H_i
+  * partial/finish — reference rln/src/partial_proof.rs:108-299: the witness
+    is split by a known-mask; prove_partial precomputes the 4 MSMs over known
+    entries (+ alpha/beta offsets), finish runs the complement MSMs, the
+    h_query MSM, and the blinding assembly.
+
+TPU mapping: witness evaluation, the QAP witness map (NTT pipeline) and all
+five MSMs run batched on device; the final ~10 group operations per proof
+(blinding algebra) run on host over the decoded MSM accumulators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..circuit import graph as graphmod
+from ..circuit import witness_host
+from ..circuit.witness_eval import UnsupportedGraph, WitnessEvaluator
+from ..circuit.zkey import Zkey
+from ..constants import NUM_LIMBS, R
+from ..ff.field import FR, FrField, encode_canonical_fast
+from ..ff.fq2 import Fq2Adapter, FqAdapter
+from ..hostmath import bn254
+from .msm import MSM
+from .qap import WitnessMapper
+
+Proof = Tuple[object, object, object]  # (a: G1 affine, b: G2 affine, c: G1 affine)
+
+
+@dataclass
+class PartialProof:
+    """Precomputed partial proof (reference partial_proof.rs:30-43).
+
+    mask[i] refers to assignment entry i of (instance[1:] || witness),
+    i.e. the full assignment without its leading constant-1 wire.
+    """
+
+    mask: List[bool]
+    partial_pi_a: object  # G1 affine
+    partial_rho: object  # G1 affine
+    partial_pi_b: object  # G2 affine
+    partial_pi_c: object  # G1 affine
+
+
+class ProverError(ValueError):
+    pass
+
+
+class Groth16Prover:
+    def __init__(self, zkey: Zkey, graph: graphmod.Graph):
+        self.zkey = zkey
+        self.graph = graph
+        pk = zkey.pk
+        self.num_inputs = zkey.matrices.num_instance_variables
+        self.n_wires = len(pk.a_query)
+        try:
+            self.evaluator: Optional[WitnessEvaluator] = WitnessEvaluator(graph)
+        except UnsupportedGraph:
+            self.evaluator = None  # exotic ops: host interpreter fallback
+        self.mapper = WitnessMapper(zkey.matrices)
+        self.msm_a = MSM(pk.a_query, FqAdapter)
+        self.msm_b1 = MSM(pk.b_g1_query, FqAdapter)
+        self.msm_b2 = MSM(pk.b_g2_query, Fq2Adapter)
+        self.msm_h = MSM(pk.h_query, FqAdapter)
+        self.msm_l = MSM(pk.l_query, FqAdapter)
+
+    # -- witness evaluation --------------------------------------------------
+
+    def full_assignments(self, named_inputs: Dict[str, Sequence[Sequence[int]]], batch: int):
+        """Returns the Montgomery assignment (16, n_wires, B) on device."""
+        if self.evaluator is not None:
+            buf = self.evaluator.build_input_buffer(named_inputs, batch)
+            return self.evaluator.evaluate_mont(buf)
+        cols = []
+        for b in range(batch):
+            single = {k: [col[b] for col in v] for k, v in named_inputs.items()}
+            cols.append(witness_host.calc_witness(single, self.graph))
+        flat = [cols[b][i] for i in range(self.n_wires) for b in range(batch)]
+        canon = encode_canonical_fast(flat).reshape(NUM_LIMBS, self.n_wires, batch)
+        return FrField.to_mont(canon)
+
+    # -- full proving --------------------------------------------------------
+
+    def prove_batch(
+        self,
+        named_inputs: Dict[str, Sequence[Sequence[int]]],
+        rs: Sequence[int],
+        ss: Sequence[int],
+    ) -> List[Proof]:
+        batch = len(rs)
+        assignment = self.full_assignments(named_inputs, batch)
+        return self.prove_batch_with_assignment(assignment, rs, ss)
+
+    def prove_batch_with_assignment(self, assignment, rs, ss) -> List[Proof]:
+        batch = len(rs)
+        h = self.mapper.witness_map(assignment)
+        z_canon = FrField.from_mont(assignment)
+        h_canon = FrField.from_mont(h)
+        a_pts = self.msm_a.to_affine_ints(self.msm_a(z_canon))
+        b1_pts = self.msm_b1.to_affine_ints(self.msm_b1(z_canon))
+        b2_pts = self.msm_b2.to_affine_ints(self.msm_b2(z_canon))
+        l_aux = FrField.from_mont(assignment[:, self.num_inputs :])
+        l_pts = self.msm_l.to_affine_ints(self.msm_l(l_aux))
+        h_pts = self.msm_h.to_affine_ints(self.msm_h(h_canon))
+
+        pk = self.zkey.pk
+        proofs: List[Proof] = []
+        for b in range(batch):
+            r, s = rs[b] % R, ss[b] % R
+            g_a = bn254.G1.add(pk.vk.alpha_g1, a_pts[b])
+            g_a = bn254.G1.add(g_a, bn254.G1.mul(pk.delta_g1, r))
+            if r != 0:
+                g1_b = bn254.G1.add(pk.beta_g1, b1_pts[b])
+                g1_b = bn254.G1.add(g1_b, bn254.G1.mul(pk.delta_g1, s))
+            else:
+                g1_b = None
+            g2_b = bn254.G2.add(pk.vk.beta_g2, b2_pts[b])
+            g2_b = bn254.G2.add(g2_b, bn254.G2.mul(pk.vk.delta_g2, s))
+            g_c = bn254.G1.add(bn254.G1.mul(g_a, s), bn254.G1.mul(g1_b, r))
+            g_c = bn254.G1.add(g_c, bn254.G1.neg(bn254.G1.mul(pk.delta_g1, r * s % R)))
+            g_c = bn254.G1.add(g_c, l_pts[b])
+            g_c = bn254.G1.add(g_c, h_pts[b])
+            proofs.append((g_a, g2_b, g_c))
+        return proofs
+
+    # -- partial / finish ----------------------------------------------------
+
+    def _shifted_mask(self, mask: Sequence[bool]) -> np.ndarray:
+        """PartialProof mask (len n_wires-1) -> per-wire mask incl. wire 0."""
+        if len(mask) != self.n_wires - 1:
+            raise ProverError(
+                f"mask length {len(mask)} != {self.n_wires - 1} assignment entries"
+            )
+        return np.concatenate([[True], np.asarray(mask, dtype=bool)])
+
+    def prove_partial(self, partial_values: Sequence[Optional[int]]) -> PartialProof:
+        """partial_values: assignment entries (instance[1:] || witness), None =
+        unknown (reference PartialAssignment, partial_proof.rs:17-28)."""
+        mask = [v is not None for v in partial_values]
+        wire_mask = self._shifted_mask(mask)
+        z = [1] + [0 if v is None else int(v) for v in partial_values]
+        z_canon = encode_canonical_fast(z).reshape(NUM_LIMBS, self.n_wires, 1)
+        m = wire_mask[:, None]
+        a_pt = self.msm_a.to_affine_ints(self.msm_a(z_canon, mask=m))[0]
+        b1_pt = self.msm_b1.to_affine_ints(self.msm_b1(z_canon, mask=m))[0]
+        b2_pt = self.msm_b2.to_affine_ints(self.msm_b2(z_canon, mask=m))[0]
+        aux = z_canon[:, self.num_inputs :]
+        l_pt = self.msm_l.to_affine_ints(self.msm_l(aux, mask=m[self.num_inputs :]))[0]
+        pk = self.zkey.pk
+        # alpha/beta offsets are folded in at prove_partial time
+        # (partial_proof.rs:159-170); note a_query[0] (wire 0) is included in
+        # the masked MSM above since wire 0 is always "known".
+        pi_a = bn254.G1.add(pk.vk.alpha_g1, a_pt)
+        rho = bn254.G1.add(pk.beta_g1, b1_pt)
+        pi_b = bn254.G2.add(pk.vk.beta_g2, b2_pt)
+        return PartialProof(
+            mask=mask, partial_pi_a=pi_a, partial_rho=rho, partial_pi_b=pi_b, partial_pi_c=l_pt
+        )
+
+    def finish_proof(
+        self,
+        partial: PartialProof,
+        assignment,  # (16, n_wires, 1) Montgomery device array
+        r: int,
+        s: int,
+    ) -> Proof:
+        wire_known = self._shifted_mask(partial.mask)
+        # complement mask: unknown wires only; wire 0 was covered by partial
+        m = (~wire_known)[:, None]
+        h = self.mapper.witness_map(assignment)
+        z_canon = FrField.from_mont(assignment)
+        h_canon = FrField.from_mont(h)
+        a_rem = self.msm_a.to_affine_ints(self.msm_a(z_canon, mask=m))[0]
+        b1_rem = self.msm_b1.to_affine_ints(self.msm_b1(z_canon, mask=m))[0]
+        b2_rem = self.msm_b2.to_affine_ints(self.msm_b2(z_canon, mask=m))[0]
+        aux = z_canon[:, self.num_inputs :]
+        l_rem = self.msm_l.to_affine_ints(self.msm_l(aux, mask=m[self.num_inputs :]))[0]
+        h_acc = self.msm_h.to_affine_ints(self.msm_h(h_canon))[0]
+
+        pk = self.zkey.pk
+        r %= R
+        s %= R
+        g_a = bn254.G1.add(partial.partial_pi_a, a_rem)
+        g_a = bn254.G1.add(g_a, bn254.G1.mul(pk.delta_g1, r))
+        if r != 0:
+            g1_b = bn254.G1.add(partial.partial_rho, b1_rem)
+            g1_b = bn254.G1.add(g1_b, bn254.G1.mul(pk.delta_g1, s))
+        else:
+            g1_b = None
+        g2_b = bn254.G2.add(partial.partial_pi_b, b2_rem)
+        g2_b = bn254.G2.add(g2_b, bn254.G2.mul(pk.vk.delta_g2, s))
+        l_acc = bn254.G1.add(partial.partial_pi_c, l_rem)
+        g_c = bn254.G1.add(bn254.G1.mul(g_a, s), bn254.G1.mul(g1_b, r))
+        g_c = bn254.G1.add(g_c, bn254.G1.neg(bn254.G1.mul(pk.delta_g1, r * s % R)))
+        g_c = bn254.G1.add(g_c, l_acc)
+        g_c = bn254.G1.add(g_c, h_acc)
+        return (g_a, g2_b, g_c)
