@@ -1,0 +1,103 @@
+"""Headline benchmark: batched RLN Groth16 proving throughput on TPU.
+
+Runs the full pipeline on the real depth-20 single-message circuit:
+witness evaluation (vectorized graph interpreter) -> CircomReduction witness
+map (NTT pipeline) -> 5 MSMs -> host blinding assembly, for a batch of
+distinct identities, then verifies one sampled proof with the pairing
+verifier.
+
+Prints ONE JSON line:
+    {"metric": "rln_proofs_per_sec", "value": N, "unit": "proofs/s",
+     "vs_baseline": N / 62.5}
+vs_baseline is measured against the per-chip share of the BASELINE.md north
+star (>= 1000 proofs/s aggregate on a 16-chip v5p slice => 62.5 proofs/s per
+chip). The reference publishes no absolute single-proof numbers (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.makedirs("/tmp/zerokit_tpu_xla_cache", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/zerokit_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_witnesses(batch):
+    from zerokit_tpu import RLNWitnessInput, hash_to_field_le, poseidon_hash, poseidon_hash_pair
+    from zerokit_tpu.tree.merkle import OptimalMerkleTree
+
+    tree = OptimalMerkleTree(20)
+    secrets = [hash_to_field_le(b"bench-secret-%d" % i) for i in range(batch)]
+    limit = 100
+    for i, s in enumerate(secrets):
+        tree.set(i, poseidon_hash_pair(poseidon_hash([s]), limit))
+    witnesses = []
+    ext = poseidon_hash_pair(hash_to_field_le(b"bench-epoch"), hash_to_field_le(b"bench-rln"))
+    for i, s in enumerate(secrets):
+        proof = tree.proof(i)
+        witnesses.append(
+            RLNWitnessInput.new_single(
+                s,
+                limit,
+                1,
+                proof.get_path_elements(),
+                proof.get_path_index(),
+                hash_to_field_le(b"signal-%d" % i),
+                ext,
+            )
+        )
+    return witnesses
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    from zerokit_tpu import RLN
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    rln = RLN.stateless()
+    log(f"engine built in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    witnesses = build_witnesses(batch)
+    log(f"built {batch} witnesses in {time.time() - t0:.1f}s")
+
+    # warmup (compiles the full pipeline)
+    t0 = time.time()
+    results = rln.generate_proofs(witnesses[:batch])
+    log(f"warmup batch ({batch}) in {time.time() - t0:.1f}s")
+
+    # timed run
+    t0 = time.time()
+    results = rln.generate_proofs(witnesses)
+    dt = time.time() - t0
+    proofs_per_sec = batch / dt
+    log(f"timed batch: {dt:.2f}s -> {proofs_per_sec:.2f} proofs/s")
+
+    # verify a sampled proof end-to-end
+    proof, values = results[0]
+    assert rln.verify(proof, values), "benchmark proof failed verification"
+    log("sampled proof verified")
+
+    print(
+        json.dumps(
+            {
+                "metric": "rln_proofs_per_sec",
+                "value": round(proofs_per_sec, 3),
+                "unit": "proofs/s",
+                "vs_baseline": round(proofs_per_sec / 62.5, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,11 +91,12 @@ def poseidon_hash_pair(a: int, b: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _mont_params_for_t(t: int):
+    # cache numpy (not jnp) so first use inside a jit trace cannot leak tracers
     rf, rp, ark, mds = params_for_t(t)
     n_rounds = rf + rp
-    ark_mont = FR.encode(np.array(ark, dtype=object).reshape(n_rounds, t))  # (16, R, t)
-    mds_mont = FR.encode(np.array(mds, dtype=object))  # (16, t, t)
-    return rf, rp, jnp.asarray(ark_mont), jnp.asarray(mds_mont)
+    ark_mont = np.asarray(FR.encode(np.array(ark, dtype=object).reshape(n_rounds, t)))
+    mds_mont = np.asarray(FR.encode(np.array(mds, dtype=object)))
+    return rf, rp, ark_mont, mds_mont
 
 
 def _x5(x):
@@ -123,10 +124,12 @@ def _c(mds, i, j, like):
 @functools.lru_cache(maxsize=None)
 def _batched_permutation(t: int):
     """Builds a jitted function: t-1 input limb arrays -> output limb array."""
-    rf, rp, ark, mds = _mont_params_for_t(t)
+    rf, rp, ark_np, mds_np = _mont_params_for_t(t)
 
     def hash_fn(*inputs):
         assert len(inputs) == t - 1
+        ark = jnp.asarray(ark_np)
+        mds = jnp.asarray(mds_np)
         state = [jnp.zeros_like(inputs[0])] + list(inputs)
 
         def round_body(full: bool):
