@@ -1,0 +1,121 @@
+"""Persistent tree: config parsing, persistence/reload, pmtree dispatch.
+
+Behavior parity with rln/src/pm_tree_adapter.rs and rln/tests/pm_tree.rs
+(persistence/reload incl. occupancy-cache rebuild, metadata, temporary
+cleanup, depth checks, override_range dispatch with empty indices allowed).
+"""
+
+import os
+
+import pytest
+
+from zerokit_tpu.tree.merkle import InvalidDepth, InvalidLeaf, OptimalMerkleTree
+from zerokit_tpu.tree.pmtree import FromConfigError, PmTree, PmTreeConfig
+
+
+def _cfg(tmp_path, name="tree.db", extra=""):
+    path = os.path.join(str(tmp_path), name)
+    return PmTreeConfig.from_json(
+        '{"path": "%s", "temporary": false, "flush_every_ms": 0%s}' % (path, extra)
+    )
+
+
+def test_config_defaults_and_json(tmp_path):
+    cfg = PmTreeConfig.from_json("{}")
+    assert cfg.temporary is True
+    assert cfg.cache_capacity == 1073741824
+    assert cfg.flush_every_ms == 500
+    assert cfg.mode == "HighThroughput"
+    assert cfg.use_compression is False
+    cfg2 = _cfg(tmp_path, extra=', "mode": "LowSpace", "cache_capacity": 7')
+    assert cfg2.mode == "LowSpace"
+    assert cfg2.cache_capacity == 7
+    with pytest.raises(FromConfigError):
+        PmTreeConfig.create(path=None, temporary=False)
+
+
+def test_persistence_reload_and_occupancy(tmp_path):
+    cfg = _cfg(tmp_path)
+    t = PmTree(4, cfg)
+    t.set_range(0, [11, 22, 33])
+    t.delete(1)
+    t.set_metadata(b"app metadata")
+    root = t.root()
+    t.flush()
+    t.close_db_connection()
+
+    t2 = PmTree(4, _cfg(tmp_path))
+    assert t2.root() == root
+    assert t2.metadata() == b"app metadata"
+    assert t2.leaves_set() == 3
+    assert t2.get_empty_leaves_indices() == [1]
+    # matches a freshly built in-memory tree
+    ref = OptimalMerkleTree(4)
+    ref.set_range(0, [11, 22, 33])
+    ref.delete(1)
+    assert t2.root() == ref.root()
+
+
+def test_depth_mismatch_rejected(tmp_path):
+    cfg = _cfg(tmp_path)
+    t = PmTree(4, cfg)
+    t.set(0, 1)
+    t.flush()
+    t.close_db_connection()
+    with pytest.raises(InvalidDepth):
+        PmTree(5, _cfg(tmp_path))
+
+
+def test_temporary_cleanup():
+    cfg = PmTreeConfig.from_json("{}")
+    t = PmTree(3, cfg)
+    t.set(0, 5)
+    t.flush()
+    assert os.path.exists(cfg.path)
+    t.close_db_connection()
+    assert not os.path.exists(cfg.path)
+
+
+def test_temporary_path_exists_rejected(tmp_path):
+    path = os.path.join(str(tmp_path), "exists.db")
+    with open(path, "w") as f:
+        f.write("x")
+    with pytest.raises(FromConfigError):
+        PmTreeConfig.create(path=path, temporary=True)
+
+
+def test_override_range_dispatch(tmp_path):
+    t = PmTree(4, _cfg(tmp_path))
+    # set-only override (empty indices allowed, unlike Full/Optimal)
+    t.override_range(0, [1, 2, 3], [])
+    assert [t.get(i) for i in range(3)] == [1, 2, 3]
+    # single-set and single-delete fast paths
+    t.override_range(3, [9], [])
+    assert t.get(3) == 9
+    t.override_range(0, [], [3])
+    assert t.get(3) == 0
+    # combined removes + writes
+    t.override_range(2, [77, 88], [0, 1])
+    assert t.get(0) == 0 and t.get(1) == 0
+    assert t.get(2) == 77 and t.get(3) == 88
+    # no leaves, no indices -> error
+    with pytest.raises(InvalidLeaf):
+        t.override_range(0, [], [])
+    t.close_db_connection()
+
+
+def test_delete_never_set_errors(tmp_path):
+    t = PmTree(4, _cfg(tmp_path))
+    t.set(0, 1)
+    with pytest.raises(InvalidLeaf):
+        t.delete(2)  # pmtree errors on deleting beyond next_index
+    t.close_db_connection()
+
+
+def test_proof_and_verify(tmp_path):
+    t = PmTree(5, _cfg(tmp_path))
+    t.set_range(0, list(range(1, 9)))
+    proof = t.proof(4)
+    assert t.verify(t.get(4), proof)
+    assert proof.leaf_index() == 4
+    t.close_db_connection()

@@ -1,0 +1,294 @@
+"""Persistent Poseidon Merkle tree (the reference's sled-backed PmTree analog).
+
+API and semantics follow rln/src/pm_tree_adapter.rs: JSON/builder config with
+the same keys and defaults (temporary=true, cache_capacity 1GB,
+flush_every_ms 500, HighThroughput mode), load-or-create on open with a
+depth check, leaf-occupancy cache rebuilt from storage on load, app metadata
+stored under a dedicated key, explicit flush/close, and PmTree's
+override_range dispatch (empty delete-index lists allowed; (0,0) is an
+error; delete of a never-set index is an error — pmtree behavior).
+
+Storage is a single snapshot file written atomically (tmp+rename) — the
+framework-native replacement for the sled embedded DB (the reference's
+on-disk format is a sled implementation detail; the durable semantics are
+what is ported). The persistent tree IS the checkpoint/resume story, as in
+the reference (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+from .. import errors
+from ..constants import R
+from .merkle import (
+    InvalidDepth,
+    InvalidLeaf,
+    InvalidLevel,
+    MerkleProof,
+    MerkleTreeError,
+    OptimalMerkleTree,
+    PoseidonHasher,
+    validate_override_range_inputs,
+)
+
+MAGIC = b"zktpu.pmtree.v1\n"
+
+DEFAULT_TEMPORARY = True
+DEFAULT_CACHE_CAPACITY = 1073741824
+DEFAULT_FLUSH_EVERY_MS = 500
+DEFAULT_MODE = "HighThroughput"
+DEFAULT_USE_COMPRESSION = False
+
+
+class FromConfigError(MerkleTreeError):
+    pass
+
+
+@dataclass
+class PmTreeConfig:
+    path: str
+    temporary: bool = DEFAULT_TEMPORARY
+    cache_capacity: int = DEFAULT_CACHE_CAPACITY
+    flush_every_ms: int = DEFAULT_FLUSH_EVERY_MS
+    mode: str = DEFAULT_MODE
+    use_compression: bool = DEFAULT_USE_COMPRESSION
+    tree_depth: Optional[int] = None
+
+    @classmethod
+    def create(
+        cls,
+        path: Optional[str] = None,
+        temporary: bool = DEFAULT_TEMPORARY,
+        cache_capacity: int = DEFAULT_CACHE_CAPACITY,
+        flush_every_ms: int = DEFAULT_FLUSH_EVERY_MS,
+        mode: str = DEFAULT_MODE,
+        use_compression: bool = DEFAULT_USE_COMPRESSION,
+        tree_depth: Optional[int] = None,
+    ) -> "PmTreeConfig":
+        path = cls._resolve_path(temporary, path)
+        return cls(
+            path=path,
+            temporary=temporary,
+            cache_capacity=cache_capacity,
+            flush_every_ms=flush_every_ms,
+            mode=mode,
+            use_compression=use_compression,
+            tree_depth=tree_depth,
+        )
+
+    @staticmethod
+    def _resolve_path(temporary: bool, path: Optional[str]) -> str:
+        # reference resolve_path (pm_tree_adapter.rs:93-101)
+        if path is None:
+            if not temporary:
+                raise FromConfigError("persistent config requires a path")
+            fd, tmp = tempfile.mkstemp(prefix="pmtree-")
+            os.close(fd)
+            os.unlink(tmp)
+            return tmp
+        if temporary and os.path.exists(path):
+            raise FromConfigError(f"temporary path already exists: {path}")
+        return path
+
+    @classmethod
+    def from_json(cls, text: str) -> "PmTreeConfig":
+        try:
+            cfg = json.loads(text) if text.strip() else {}
+        except json.JSONDecodeError as e:
+            raise FromConfigError(f"invalid config JSON: {e}") from e
+        return cls.create(
+            path=cfg.get("path"),
+            temporary=cfg.get("temporary", DEFAULT_TEMPORARY),
+            cache_capacity=cfg.get("cache_capacity", DEFAULT_CACHE_CAPACITY),
+            flush_every_ms=cfg.get("flush_every_ms", DEFAULT_FLUSH_EVERY_MS),
+            mode="LowSpace" if cfg.get("mode") == "LowSpace" else DEFAULT_MODE,
+            use_compression=cfg.get("use_compression", DEFAULT_USE_COMPRESSION),
+            tree_depth=cfg.get("tree_depth"),
+        )
+
+
+class PmTree:
+    """Persistent tree: in-memory Optimal tree + durable snapshot storage."""
+
+    def __init__(self, depth: int, config: Optional[PmTreeConfig] = None):
+        self.config = config or PmTreeConfig.create()
+        if self.config.tree_depth is not None and self.config.tree_depth != depth:
+            raise InvalidDepth("config tree_depth disagrees with requested depth")
+        self._inner = OptimalMerkleTree(depth)
+        self._metadata = b""
+        self._dirty = False
+        self._last_flush = time.monotonic()
+        self._closed = False
+        if os.path.exists(self.config.path):
+            self._load(depth)
+
+    # -- storage ------------------------------------------------------------
+
+    def _load(self, depth: int) -> None:
+        with open(self.config.path, "rb") as f:
+            data = f.read()
+        if not data.startswith(MAGIC):
+            raise MerkleTreeError("not a pmtree snapshot file")
+        off = len(MAGIC)
+        stored_depth, next_index, n_entries, meta_len = struct.unpack_from("<QQQQ", data, off)
+        if stored_depth != depth:
+            raise InvalidDepth(
+                f"stored depth {stored_depth} != requested depth {depth}"
+            )
+        off += 32
+        entries = []
+        for _ in range(n_entries):
+            (idx,) = struct.unpack_from("<Q", data, off)
+            off += 8
+            val = int.from_bytes(data[off : off + 32], "little")
+            off += 32
+            entries.append((idx, val))
+        self._metadata = data[off : off + meta_len]
+        # rebuild tree + occupancy cache (reference load path rebuilds the
+        # occupancy cache from storage, pm_tree_adapter.rs:216-233)
+        for idx, val in entries:
+            self._inner.set(idx, val)
+            self._inner.cached_leaves_indices[idx] = 1 if val != 0 else 0
+        self._inner.next_index = next_index
+
+    def flush(self) -> None:
+        entries = [
+            (int(i), self._inner.get(int(i)))
+            for i in range(self._inner.next_index)
+            if self._inner.cached_leaves_indices[i]
+        ]
+        payload = MAGIC + struct.pack(
+            "<QQQQ",
+            self._inner.depth(),
+            self._inner.next_index,
+            len(entries),
+            len(self._metadata),
+        )
+        for idx, val in entries:
+            payload += struct.pack("<Q", idx) + int(val).to_bytes(32, "little")
+        payload += self._metadata
+        tmp = self.config.path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, self.config.path)
+        self._dirty = False
+        self._last_flush = time.monotonic()
+
+    def _maybe_flush(self) -> None:
+        self._dirty = True
+        if (time.monotonic() - self._last_flush) * 1000.0 >= self.config.flush_every_ms:
+            self.flush()
+
+    def close_db_connection(self) -> None:
+        if self._closed:
+            return
+        if self.config.temporary:
+            if os.path.exists(self.config.path):
+                os.unlink(self.config.path)
+        elif self._dirty:
+            self.flush()
+        self._closed = True
+
+    # -- tree API (delegation + pmtree-specific dispatch) --------------------
+
+    def depth(self) -> int:
+        return self._inner.depth()
+
+    def capacity(self) -> int:
+        return self._inner.capacity()
+
+    def leaves_set(self) -> int:
+        return self._inner.leaves_set()
+
+    def root(self) -> int:
+        return self._inner.root()
+
+    def get(self, index: int) -> int:
+        return self._inner.get(index)
+
+    def get_subtree_root(self, n: int, index: int) -> int:
+        return self._inner.get_subtree_root(n, index)
+
+    def get_empty_leaves_indices(self) -> List[int]:
+        return self._inner.get_empty_leaves_indices()
+
+    def set(self, index: int, leaf: int) -> None:
+        self._inner.set(index, leaf)
+        self._maybe_flush()
+
+    def set_range(self, start: int, leaves: Sequence[int]) -> None:
+        self._inner.set_range(start, leaves)
+        self._maybe_flush()
+
+    def update_next(self, leaf: int) -> None:
+        self._inner.update_next(leaf)
+        self._maybe_flush()
+
+    def delete(self, index: int) -> None:
+        # pmtree errors on deleting a never-set leaf (unlike Full/Optimal)
+        if index >= self._inner.next_index:
+            raise InvalidLeaf("cannot delete a leaf that was never set")
+        self._inner.delete(index)
+        self._maybe_flush()
+
+    def override_range(
+        self, start: int, leaves: Sequence[int], to_remove_indices: Sequence[int]
+    ) -> None:
+        """PmTree dispatch (pm_tree_adapter.rs:320-356): empty indices allowed."""
+        leaves = list(leaves)
+        indices, _, max_index = validate_override_range_inputs(
+            start, len(leaves), list(to_remove_indices), self.capacity(), True
+        )
+        if not leaves and not indices:
+            raise InvalidLeaf("override_range with no leaves and no indices")
+        if len(leaves) == 1 and not indices:
+            return self.set(start, leaves[0])
+        if not leaves and len(indices) == 1:
+            return self.delete(indices[0])
+        if leaves and not indices:
+            return self.set_range(start, leaves)
+        if not leaves:
+            for i in indices:
+                self._inner.delete(i)
+            self._maybe_flush()
+            return
+        # combined remove + set, atomic from the caller's view:
+        # apply removes below start then write the whole window
+        index_set = set(indices)
+        min_index = min(indices)
+        default = PoseidonHasher.default_leaf()
+        window = [default] * (max_index - min_index)
+        for i in range(min_index, start):
+            if i not in index_set:
+                window[i - min_index] = self._inner.get(i)
+        for k, leaf in enumerate(leaves):
+            window[start - min_index + k] = leaf
+        for i in indices:
+            self._inner.cached_leaves_indices[i] = 0
+        self._inner.set_range(min_index, window)
+        for i in indices:
+            if i < max_index:
+                self._inner.cached_leaves_indices[i] = 0
+        self._maybe_flush()
+
+    def proof(self, index: int) -> MerkleProof:
+        return self._inner.proof(index)
+
+    def verify(self, leaf: int, proof: MerkleProof) -> bool:
+        if not self._inner.verify(leaf, proof):
+            raise errors.ZerokitError("invalid merkle proof")
+        return True
+
+    def set_metadata(self, metadata: bytes) -> None:
+        self._metadata = bytes(metadata)
+        self._maybe_flush()
+
+    def metadata(self) -> bytes:
+        return self._metadata
