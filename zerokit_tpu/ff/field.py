@@ -147,36 +147,62 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, n_cols: int = 2 * L) -> jnp.ndarra
     return cols[:n_cols]
 
 
+def _kogge_stone_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Carry-lookahead: carry_in[i] for each limb from generate/propagate bits.
+
+    g[i] = position i generates a carry; p[i] = position i propagates an
+    incoming carry. Returns c[i] = carry INTO position i (c[0] = 0).
+    Log-depth (parallel prefix), pure elementwise ops — no sequential loop.
+    """
+    n = g.shape[0]
+    shift = 1
+    while shift < n:
+        # combine: after k steps, (g, p) summarize windows of length 2^k
+        g_prev = jnp.concatenate([jnp.zeros_like(g[:shift]), g[:-shift]], axis=0)
+        p_prev = jnp.concatenate([jnp.zeros_like(p[:shift]), p[:-shift]], axis=0)
+        g = g | (p & g_prev)
+        p = p & p_prev
+        shift *= 2
+    # carry into position i is the combined generate of the window below it
+    return jnp.concatenate([jnp.zeros_like(g[:1]), g[:-1]], axis=0)
+
+
 def _carry_fold(cols: jnp.ndarray, n_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Ripple-carry normalization: (n, *batch) columns -> (n_out 16-bit limbs,
-    leftover carry). Sequential in limbs (a lax.scan), vector across batch."""
+    """Carry normalization: (n, *batch) columns (values < 2^26) -> (n_out
+    16-bit limbs, leftover carry). Log-depth: one lo/hi fold brings every
+    limb below 2^16 + 2^10, then Kogge-Stone carry-lookahead resolves the
+    remaining 0/1 carries in log2(n) elementwise steps."""
     n = cols.shape[0]
     if n < n_out:
         pad = jnp.zeros((n_out - n,) + cols.shape[1:], dtype=U32)
         cols = jnp.concatenate([cols, pad], axis=0)
     else:
         cols = cols[:n_out]
-
-    def body(carry, c):
-        v = c + carry
-        return v >> LIMB_BITS, v & _MASK
-
-    carry0 = jnp.zeros(cols.shape[1:], dtype=U32)
-    carry, limbs = jax.lax.scan(body, carry0, cols)
+    lo = cols & _MASK
+    hi = cols >> LIMB_BITS  # < 2^10 for column accumulators < 2^26
+    hi_shift = jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
+    y = lo + hi_shift  # < 2^16 + 2^10: carry-out is 0 or 1
+    g = y >> LIMB_BITS  # generates
+    p = ((y & _MASK) == _MASK).astype(U32)  # propagates
+    c = _kogge_stone_carries(g, p)
+    limbs = (y + c) & _MASK
+    # leftover carry out of the top limb
+    top = y[-1] + c[-1]
+    carry = (top >> LIMB_BITS) + hi[-1]
     return limbs, carry
 
 
 def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """a - b over 16-bit limb arrays (n, *batch); returns (limbs, borrow)."""
-
-    def body(borrow, ab):
-        ai, bi = ab
-        d = ai - bi - borrow
-        return d >> 31, d & _MASK
-
-    borrow0 = jnp.zeros(a.shape[1:], dtype=U32)
-    borrow, limbs = jax.lax.scan(body, borrow0, (a, b))
-    return limbs, borrow
+    """a - b over 16-bit limb arrays (n, *batch); returns (limbs, borrow).
+    Borrow-lookahead via the same parallel-prefix structure."""
+    d = a - b  # wraps in uint32; interpret per-limb
+    g = (a < b).astype(U32)  # generates a borrow
+    p = (a == b).astype(U32)  # propagates a borrow
+    borrow_in = _kogge_stone_carries(g, p)
+    limbs = (d - borrow_in) & _MASK
+    # borrow out of the top limb
+    top_borrow = g[-1] | (p[-1] & borrow_in[-1])
+    return limbs, top_borrow
 
 
 class Field:

@@ -5,21 +5,25 @@ and ark-groth16's internal MSMs). The workload shape is RLN-specific: every
 MSM in Groth16 proving uses a *fixed* base set (the zkey's a/b1/b2/h/l query
 points, circuit scale ~6-8K points) and a *batch* of per-proof scalar vectors.
 
-v0 formulation (correctness-first, fully vectorized over the proof batch):
-  * 8-bit windows, most-significant first: acc = 256*acc + S_w per window.
-  * Per window, bucket accumulation is a lax.scan over the points: one step
-    gathers each batch lane's digit-selected bucket, mixed-adds the shared
-    affine point, and scatters back — 256 Jacobian buckets per lane resident
-    as the scan carry.
-  * Digit 0 lands in bucket 0 which the weighted reduction ignores, so zero
-    scalars and masked-out points (partial proofs, rln/src/partial_proof.rs
-    mask semantics) cost nothing and need no branches.
-  * S_w = sum_j j*B_j via 255 suffix-sum additions.
+TPU-first formulation — wide data-parallel steps, logarithmic sequential
+depth (a sequential bucket-scatter loop is pathological on TPU):
 
-The scan-over-points structure is the TPU analog of bucket scatter;
-per-window state is ~50KB/lane and stays on-device. Multi-chip: points are
-sharded across devices and partial accumulators psum-reduced
-(parallel/msm_sharded.py).
+  * Fixed-base window tables: T[w][i] = 2^(8w) * P_i precomputed once on
+    device (8-bit windows, 32 windows, ~24 MB per G1 query set). Removes all
+    doublings from the MSM itself, so window sums combine with a plain tree.
+  * Per window: digits sorted per batch lane (jnp.argsort), points gathered
+    in sorted order, and bucket sums computed with ONE segmented
+    jax.lax.associative_scan whose combiner is the branchless Jacobian add —
+    work-efficient (~2n point adds) and only ~2 log n wide steps deep.
+  * Segment-end elements scatter into the 256 buckets; the weighted sum
+    sum_j j*B_j is a reverse associative_scan (suffix sums) plus a tree
+    reduction. Digit 0 lands in an ignored bucket, so zero scalars and
+    masked-out points (partial proofs) are free and branchless.
+  * Windows are processed in small groups to bound the gathered-points
+    footprint; group results combine by tree.
+
+Multi-chip: points shard over the mesh's "tp" axis; per-shard accumulators
+combine with all_gather + EC tree reduction (parallel/sharded.py).
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ from .curve import CurveOps
 C_BITS = 8
 N_BUCKETS = 1 << C_BITS
 N_WINDOWS = 32  # 256 bits / 8
+WINDOW_GROUP = 2  # windows processed per sorted-scan pass
 
 
 def _one_mont(adapter, like):
@@ -48,63 +53,144 @@ def _one_mont(adapter, like):
     return jnp.asarray(one)
 
 
-def msm_accumulate(adapter, points, scalars):
-    """Pure traceable MSM core: windowed bucket accumulation over all points.
+def _tree_sum(cv: CurveOps, arr: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """EC tree reduction along `axis` of a (16, C, 3, ...) Jacobian array."""
+    size = arr.shape[axis]
+    while size > 1:
+        half = size // 2
+        left = jax.lax.slice_in_dim(arr, 0, half, axis=axis)
+        right = jax.lax.slice_in_dim(arr, half, 2 * half, axis=axis)
+        combined = cv.add(left, right)
+        if size % 2:
+            tail = jax.lax.slice_in_dim(arr, 2 * half, size, axis=axis)
+            combined = jnp.concatenate([combined, tail], axis=axis)
+        arr = combined
+        size = arr.shape[axis]
+    return jnp.squeeze(arr, axis=axis)
 
-    points: (16, C, 2, n) affine Montgomery; scalars: (16, n, B) canonical.
-    Returns Jacobian accumulators (16, C, 3, B). Composable under jit /
-    shard_map (the multi-chip MSM shards the n axis and adds the partial
-    accumulators across devices).
-    """
+
+def precompute_window_tables(adapter, points_aff: jnp.ndarray) -> jnp.ndarray:
+    """points_aff: (16, C, 2, n) affine -> tables (16, C, 2, W, n) affine
+    with tables[..., w, i] = 2^(8w) * P_i."""
     cv = CurveOps(adapter)
+    one = _one_mont(adapter, points_aff[:, :, 0])
+    jac = cv.jac_from_affine(points_aff, one)  # (16, C, 3, n)
+
+    def step(carry, _):
+        nxt = jax.lax.fori_loop(0, C_BITS, lambda _, a: cv.double(a), carry)
+        return nxt, carry
+
+    _, stacked = jax.lax.scan(step, jac, None, length=N_WINDOWS)  # (W, 16, C, 3, n)
+    stacked = jnp.moveaxis(stacked, 0, 3)  # (16, C, 3, W, n)
+    return cv.to_affine(stacked)  # (16, C, 2, W, n); infinity -> (0, 0)
+
+
+def _digits_for_windows(scalars: jnp.ndarray, w0: int, count: int) -> jnp.ndarray:
+    """scalars (16, n, B) canonical -> digits (count, n, B) for windows w0.."""
+    rows = []
+    for w in range(w0, w0 + count):
+        limb = scalars[w // 2]
+        shift = (w % 2) * 8
+        rows.append((limb >> shift) & np.uint32(0xFF))
+    return jnp.stack(rows, axis=0)
+
+
+def msm_from_tables(adapter, tables: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
+    """tables: (16, C, 2, W, n); scalars: (16, n, B) canonical limbs.
+    Returns Jacobian accumulators (16, C, 3, B)."""
+    cv = CurveOps(adapter)
+    n = tables.shape[4]
     batch = scalars.shape[2]
     one = _one_mont(adapter, jnp.zeros((NUM_LIMBS, adapter.components, batch), dtype=U32))
 
-    def window_body(acc, w):
-        limb_idx = w // 2
-        shift = (w % 2) * 8
-        digit_row = (jnp.take(scalars, limb_idx, axis=0) >> shift) & np.uint32(0xFF)
+    def combine(a, b):
+        """Segmented-scan combiner: (value, started-new-segment flag)."""
+        av, af = a
+        bv, bf = b
+        merged = cv.add(av, bv)
+        value = jnp.where(bf != 0, bv, merged)
+        return value, jnp.bitwise_or(af, bf)
 
-        buckets = jnp.zeros(
-            (NUM_LIMBS, adapter.components, 3, N_BUCKETS, batch), dtype=U32
+    def group_body(_, inputs):
+        """One window-group pass; runs under lax.scan so the (large) sorted
+        segmented-scan graph is compiled once, not once per group."""
+        pts, digits = inputs  # pts: (16,C,2,G,n); digits: (G,n,B)
+        gw = digits.shape[0]
+        order = jnp.argsort(digits, axis=1)
+        sorted_digits = jnp.take_along_axis(digits, order, axis=1)
+        # gather points in sorted order: (16, C, 2, G, n, B)
+        pts_b = jnp.broadcast_to(pts[..., None], pts.shape + (batch,))
+        idx_b = jnp.broadcast_to(
+            order[None, None, None, :, :, :].astype(jnp.int32), pts_b.shape
         )
+        gathered = jnp.take_along_axis(pts_b, idx_b, axis=4)
+        jac = cv.jac_from_affine(gathered, one[:, :, None, None, :])  # (16,C,3,G,n,B)
 
-        def acc_body(buckets, inputs):
-            pt, digits = inputs
-            d = digits[None, None, None, None, :]
-            cur = jnp.take_along_axis(buckets, d.astype(jnp.int32), axis=3)[:, :, :, 0]
-            q = jnp.broadcast_to(pt[:, :, :, None], cur[:, :, 0:2].shape)
-            new = cv.add_mixed(cur, q, one)
-            return _scatter_bucket(buckets, digits, new), None
+        # segment starts: position 0 or digit change
+        prev = jnp.concatenate(
+            [jnp.full_like(sorted_digits[:, :1], 0xFFFFFFFF), sorted_digits[:, :-1]],
+            axis=1,
+        )
+        starts = (sorted_digits != prev).astype(U32)[None, None, None]  # (1,1,1,G,n,B)
+        scanned, _ = jax.lax.associative_scan(combine, (jac, starts), axis=4)
 
-        pts_scan = jnp.moveaxis(points, 3, 0)  # (n, 16, C, 2)
-        buckets, _ = jax.lax.scan(acc_body, buckets, (pts_scan, digit_row))
+        # segment ends hold the bucket sums
+        nxt = jnp.concatenate(
+            [sorted_digits[:, 1:], jnp.full_like(sorted_digits[:, :1], 0xFFFFFFFF)],
+            axis=1,
+        )
+        is_end = sorted_digits != nxt  # (G, n, B)
+        target = jnp.where(is_end, sorted_digits, N_BUCKETS).astype(jnp.int32)
+        g_idx = jnp.broadcast_to(
+            jnp.arange(gw, dtype=jnp.int32)[:, None, None], target.shape
+        )
+        b_idx = jnp.broadcast_to(
+            jnp.arange(batch, dtype=jnp.int32)[None, None, :], target.shape
+        )
+        buckets = jnp.zeros(
+            (NUM_LIMBS, adapter.components, 3, gw, N_BUCKETS + 1, batch), dtype=U32
+        )
+        buckets = buckets.at[:, :, :, g_idx, target, b_idx].set(scanned)
+        buckets = buckets[:, :, :, :, 1:N_BUCKETS]  # drop bucket 0 and dummy
 
-        def suffix_body(carry, bucket):
-            running, total = carry
-            running = cv.add(running, bucket)
-            total = cv.add(total, running)
-            return (running, total), None
+        # S = sum_{j>=1} j*B_j = sum of suffix sums over the bucket axis
+        suffix = jax.lax.associative_scan(cv.add, buckets, axis=4, reverse=True)
+        s_per_window = _tree_sum(cv, suffix, axis=4)  # (16, C, 3, G, B)
+        return None, s_per_window
 
-        buckets_rev = jnp.moveaxis(buckets, 3, 0)[::-1][:-1]
-        zero = jnp.zeros((NUM_LIMBS, adapter.components, 3, batch), dtype=U32)
-        (_, s_w), _ = jax.lax.scan(suffix_body, (zero, zero), buckets_rev)
-
-        acc = jax.lax.fori_loop(0, C_BITS, lambda _, a: cv.double(a), acc)
-        return cv.add(acc, s_w)
-
-    acc0 = jnp.zeros((NUM_LIMBS, adapter.components, 3, batch), dtype=U32)
-    return jax.lax.fori_loop(
-        0, N_WINDOWS, lambda i, a: window_body(a, N_WINDOWS - 1 - i), acc0
+    assert N_WINDOWS % WINDOW_GROUP == 0
+    n_groups = N_WINDOWS // WINDOW_GROUP
+    all_digits = _digits_for_windows(scalars, 0, N_WINDOWS)  # (W, n, B)
+    digits_g = all_digits.reshape(n_groups, WINDOW_GROUP, n, batch)
+    tables_g = jnp.moveaxis(
+        tables.reshape(
+            NUM_LIMBS, adapter.components, 2, n_groups, WINDOW_GROUP, n
+        ),
+        3,
+        0,
+    )  # (NG, 16, C, 2, G, n)
+    _, sums = jax.lax.scan(group_body, None, (tables_g, digits_g))
+    # sums: (NG, 16, C, 3, G, B) -> (16, C, 3, W, B)
+    all_windows = jnp.moveaxis(sums, 0, 3).reshape(
+        (NUM_LIMBS, adapter.components, 3, N_WINDOWS, batch)
     )
+    return _tree_sum(cv, all_windows, axis=3)
+
+
+def msm_accumulate(adapter, points, scalars):
+    """One-shot MSM from affine points (tables built in-trace); used by the
+    sharded path. For repeated MSMs over the same bases use the MSM class,
+    which caches the window tables."""
+    tables = precompute_window_tables(adapter, points)
+    return msm_from_tables(adapter, tables, scalars)
 
 
 class MSM:
-    """MSM over one base set. adapter = FqAdapter (G1) or Fq2Adapter (G2)."""
+    """MSM over one fixed base set. adapter = FqAdapter (G1) / Fq2Adapter (G2)."""
 
     def __init__(self, points, adapter):
-        """points: list of affine points as ints (G1: (x, y); G2: ((x0,x1),(y0,y1))).
-        The point at infinity is encoded (0, 0)."""
+        """points: list of affine points as ints (G1: (x, y); G2:
+        ((x0,x1),(y0,y1))). None encodes the point at infinity."""
         self.adapter = adapter
         self.curve = CurveOps(adapter)
         self.n = len(points)
@@ -124,13 +210,15 @@ class MSM:
             enc = adapter.encode(flat)  # (16, 2, 2n)
         enc = np.asarray(enc).reshape(NUM_LIMBS, adapter.components, self.n, 2)
         self.points = jnp.asarray(np.moveaxis(enc, 3, 2))  # (16, C, 2, n)
-        self._msm_fn = jax.jit(functools.partial(msm_accumulate, adapter))
-        self._finish_fn = jax.jit(self._finish)
+        self._tables = None
+        self._msm_fn = jax.jit(functools.partial(msm_from_tables, adapter))
+        self._finish_fn = jax.jit(self.curve.to_affine)
 
-    def _finish(self, acc):
-        return self.curve.to_affine(acc)
-
-    # -- public API ---------------------------------------------------------
+    def tables(self) -> jnp.ndarray:
+        if self._tables is None:
+            build = jax.jit(functools.partial(precompute_window_tables, self.adapter))
+            self._tables = build(self.points)
+        return self._tables
 
     def __call__(
         self, scalars_canon: jnp.ndarray, mask: Optional[jnp.ndarray] = None
@@ -143,7 +231,7 @@ class MSM:
         scalars = jnp.asarray(scalars_canon)
         if mask is not None:
             scalars = jnp.where(jnp.asarray(mask)[None], scalars, 0)
-        return self._msm_fn(self.points, scalars)
+        return self._msm_fn(self.tables(), scalars)
 
     def to_affine_ints(self, acc):
         """Jacobian accumulators -> list of host affine points (None = inf)."""
@@ -163,9 +251,3 @@ class MSM:
                 inf = x0 == x1 == y0 == y1 == 0
                 out.append(None if inf else ((int(x0), int(x1)), (int(y0), int(y1))))
         return out
-
-
-def _scatter_bucket(buckets, digits, new):
-    """buckets: (16,C,3,256,B); digits: (B,); new: (16,C,3,B)."""
-    b_idx = jnp.arange(buckets.shape[4])
-    return buckets.at[:, :, :, digits.astype(jnp.int32), b_idx].set(new)
