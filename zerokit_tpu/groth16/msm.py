@@ -185,14 +185,30 @@ def msm_accumulate(adapter, points, scalars):
     return msm_from_tables(adapter, tables, scalars)
 
 
+PAD_GRANULARITY = 4096  # base sets pad up so equal-size MSMs share a compile
+
+
 class MSM:
-    """MSM over one fixed base set. adapter = FqAdapter (G1) / Fq2Adapter (G2)."""
+    """MSM over one fixed base set. adapter = FqAdapter (G1) / Fq2Adapter (G2).
+
+    The base set is padded (with infinity points / zero scalars) to a
+    multiple of PAD_GRANULARITY so that the a/b1/l/h query MSMs of a circuit
+    all compile to the same program shape — compilation of the big MSM
+    program is expensive and cached per shape.
+    """
 
     def __init__(self, points, adapter):
         """points: list of affine points as ints (G1: (x, y); G2:
         ((x0,x1),(y0,y1))). None encodes the point at infinity."""
         self.adapter = adapter
         self.curve = CurveOps(adapter)
+        self.n_real = len(points)
+        pad_to = max(
+            PAD_GRANULARITY,
+            ((len(points) + PAD_GRANULARITY - 1) // PAD_GRANULARITY) * PAD_GRANULARITY,
+        )
+        if len(points) > 64:
+            points = list(points) + [None] * (pad_to - len(points))
         self.n = len(points)
         if adapter is FqAdapter:
             flat = []
@@ -223,14 +239,21 @@ class MSM:
     def __call__(
         self, scalars_canon: jnp.ndarray, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
-        """scalars_canon: (16, n, B) canonical limbs. mask: optional (n, B)
-        bool — points with False contribute nothing (partial-proof splits).
-        Returns Jacobian accumulators (16, C, 3, B)."""
-        if scalars_canon.shape[1] != self.n:
-            raise ValueError(f"expected {self.n} scalars, got {scalars_canon.shape[1]}")
+        """scalars_canon: (16, n_real, B) canonical limbs. mask: optional
+        (n_real, B) bool — points with False contribute nothing (partial-proof
+        splits). Returns Jacobian accumulators (16, C, 3, B)."""
+        if scalars_canon.shape[1] != self.n_real:
+            raise ValueError(
+                f"expected {self.n_real} scalars, got {scalars_canon.shape[1]}"
+            )
         scalars = jnp.asarray(scalars_canon)
         if mask is not None:
             scalars = jnp.where(jnp.asarray(mask)[None], scalars, 0)
+        if self.n != self.n_real:
+            pad = jnp.zeros(
+                (NUM_LIMBS, self.n - self.n_real, scalars.shape[2]), dtype=U32
+            )
+            scalars = jnp.concatenate([scalars, pad], axis=1)
         return self._msm_fn(self.tables(), scalars)
 
     def to_affine_ints(self, acc):

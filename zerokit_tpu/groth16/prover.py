@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..circuit import graph as graphmod
@@ -36,6 +37,17 @@ from .msm import MSM
 from .qap import WitnessMapper
 
 Proof = Tuple[object, object, object]  # (a: G1 affine, b: G2 affine, c: G1 affine)
+
+MIN_BATCH = 4
+
+
+def _padded_batch(b: int) -> int:
+    """Pads batch sizes to powers of two so device programs compile once per
+    size class (TPU compiles of the proving pipeline are expensive)."""
+    n = MIN_BATCH
+    while n < b:
+        n *= 2
+    return n
 
 
 @dataclass
@@ -78,9 +90,17 @@ class Groth16Prover:
     # -- witness evaluation --------------------------------------------------
 
     def full_assignments(self, named_inputs: Dict[str, Sequence[Sequence[int]]], batch: int):
-        """Returns the Montgomery assignment (16, n_wires, B) on device."""
+        """Returns the Montgomery assignment (16, n_wires, B) on device.
+        The batch axis is padded to a power-of-two size class (the padding
+        lanes replicate lane 0); callers slice back down."""
         if self.evaluator is not None:
-            buf = self.evaluator.build_input_buffer(named_inputs, batch)
+            target = _padded_batch(batch)
+            if target != batch:
+                named_inputs = {
+                    name: [list(col) + [col[0]] * (target - batch) for col in cols]
+                    for name, cols in named_inputs.items()
+                }
+            buf = self.evaluator.build_input_buffer(named_inputs, target)
             return self.evaluator.evaluate_mont(buf)
         cols = []
         for b in range(batch):
@@ -104,6 +124,12 @@ class Groth16Prover:
 
     def prove_batch_with_assignment(self, assignment, rs, ss) -> List[Proof]:
         batch = len(rs)
+        target = _padded_batch(batch)
+        if assignment.shape[2] < target:
+            reps = jnp.repeat(
+                assignment[:, :, :1], target - assignment.shape[2], axis=2
+            )
+            assignment = jnp.concatenate([assignment, reps], axis=2)
         h = self.mapper.witness_map(assignment)
         z_canon = FrField.from_mont(assignment)
         h_canon = FrField.from_mont(h)
@@ -150,7 +176,9 @@ class Groth16Prover:
         mask = [v is not None for v in partial_values]
         wire_mask = self._shifted_mask(mask)
         z = [1] + [0 if v is None else int(v) for v in partial_values]
-        z_canon = encode_canonical_fast(z).reshape(NUM_LIMBS, self.n_wires, 1)
+        z_canon = np.repeat(
+            encode_canonical_fast(z).reshape(NUM_LIMBS, self.n_wires, 1), MIN_BATCH, axis=2
+        )
         m = wire_mask[:, None]
         a_pt = self.msm_a.to_affine_ints(self.msm_a(z_canon, mask=m))[0]
         b1_pt = self.msm_b1.to_affine_ints(self.msm_b1(z_canon, mask=m))[0]
@@ -178,6 +206,11 @@ class Groth16Prover:
         wire_known = self._shifted_mask(partial.mask)
         # complement mask: unknown wires only; wire 0 was covered by partial
         m = (~wire_known)[:, None]
+        if assignment.shape[2] < MIN_BATCH:
+            reps = jnp.repeat(
+                assignment[:, :, :1], MIN_BATCH - assignment.shape[2], axis=2
+            )
+            assignment = jnp.concatenate([assignment, reps], axis=2)
         h = self.mapper.witness_map(assignment)
         z_canon = FrField.from_mont(assignment)
         h_canon = FrField.from_mont(h)
