@@ -65,6 +65,13 @@ def poseidon_hash(inputs: Sequence[int]) -> int:
     if len(inputs) == 0:
         raise PoseidonError("empty input")
     t = len(inputs) + 1
+    if 2 <= t <= 9:
+        # fast path: native host runtime (C ABI), if built
+        from ..runtime import native
+
+        result = native.poseidon_hash_native([int(v) % R for v in inputs])
+        if result is not None:
+            return result
     rf, rp, ark, mds = params_for_t(t)
     state = [0] + [x % R for x in inputs]
     for rnd in range(rf + rp):

@@ -80,7 +80,15 @@ class PoseidonHasher:
 
     @staticmethod
     def hash_pairs_batch(lefts: Sequence[int], rights: Sequence[int]) -> List[int]:
-        """Batched pair hashing (device when the batch is large enough)."""
+        """Batched pair hashing: native C runtime when built, else the
+        batched device kernel for ranges of at least MIN_PARALLEL_NODES
+        pairs (the reference's rayon threshold, merkle_tree.rs:18)."""
+        from ..runtime import native
+
+        if native.available():
+            out = native.poseidon_hash_pairs_native(list(lefts), list(rights))
+            if out is not None:
+                return out
         if len(lefts) < MIN_PARALLEL_NODES:
             return [poseidon_hash_pair(l, r) for l, r in zip(lefts, rights)]
         out = poseidon_hash_pair_mont(
