@@ -24,6 +24,7 @@ implementation and the building block for NTT/MSM/Poseidon/witness-eval.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -205,6 +206,25 @@ def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
     return limbs, top_borrow
 
 
+def _flat2d(fn):
+    """Runs a limb-array op with all batch dims flattened to one axis.
+
+    The compiler handles uniform (16, N) shapes far better than deep stacks
+    of ops on 6-D arrays with tiny dims; reshapes at the boundary are free.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(self, *args):
+        shape = args[0].shape
+        if args[0].ndim <= 2:
+            return fn(self, *args)
+        flat = tuple(a.reshape((a.shape[0], -1)) for a in args)
+        out = fn(self, *flat)
+        return out.reshape((out.shape[0],) + shape[1:])
+
+    return wrapped
+
+
 class Field:
     """Vectorized field ops bound to one FieldSpec. Limbs axis 0, batch trails."""
 
@@ -216,7 +236,7 @@ class Field:
         )
         # jit public entry points: fast eager calls, still inlineable under jit
         for name in ("add", "sub", "neg", "mul", "sqr", "to_mont", "from_mont", "inv"):
-            setattr(self, name, jax.jit(getattr(self, name)))
+            setattr(self, name, jax.jit(_flat2d(getattr(self, name).__func__).__get__(self)))
 
     def _const(self, const_np, like, n=L):
         c = jnp.asarray(const_np, dtype=U32).reshape((n,) + (1,) * (like.ndim - 1))

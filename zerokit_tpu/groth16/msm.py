@@ -95,86 +95,148 @@ def _digits_for_windows(scalars: jnp.ndarray, w0: int, count: int) -> jnp.ndarra
     return jnp.stack(rows, axis=0)
 
 
+def _stage_sort_gather(adapter, pts, digits):
+    """Sort digits per lane, gather points in sorted order, build Jacobians.
+
+    pts: (16,C,2,G,n); digits: (G,n,B) -> (jac (16,C,3,G,n,B),
+    sorted_digits (G,n,B)). No EC arithmetic — compiles fast.
+    """
+    cv = CurveOps(adapter)
+    batch = digits.shape[2]
+    one = _one_mont(adapter, jnp.zeros((NUM_LIMBS, adapter.components, batch), dtype=U32))
+    order = jnp.argsort(digits, axis=1)
+    sorted_digits = jnp.take_along_axis(digits, order, axis=1)
+    pts_b = jnp.broadcast_to(pts[..., None], pts.shape + (batch,))
+    idx_b = jnp.broadcast_to(
+        order[None, None, None, :, :, :].astype(jnp.int32), pts_b.shape
+    )
+    gathered = jnp.take_along_axis(pts_b, idx_b, axis=4)
+    jac = cv.jac_from_affine(gathered, one[:, :, None, None, :])
+    return jac, sorted_digits
+
+
+def _hs_masked_combine(cv, val, shifted_val, keep_old_mask):
+    """One Hillis-Steele level: combine shifted into val except where masked."""
+    merged = cv.add(shifted_val, val)
+    return jnp.where(keep_old_mask, val, merged)
+
+
+def _stage_segmented_scan(adapter, jac, sorted_digits):
+    """Segmented inclusive scan of sorted Jacobians along the n axis.
+
+    Hillis-Steele formulation: log2(n) identical levels, each a dynamic
+    jnp.roll + one branchless EC add + selects, under a fori_loop — the whole
+    scan is ONE small compiled program (the remote TPU compiler scales badly
+    with module size, so per-level program reuse beats work-efficient
+    scan shapes whose every level is a distinct large computation).
+    """
+    cv = CurveOps(adapter)
+    n = jac.shape[4]
+    log_n = max(1, (n - 1).bit_length())
+    prev = jnp.concatenate(
+        [jnp.full_like(sorted_digits[:, :1], 0xFFFFFFFF), sorted_digits[:, :-1]],
+        axis=1,
+    )
+    flags = (sorted_digits != prev).astype(U32)[None, None, None]  # (1,1,1,G,n,B)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, n, 1), 4)
+
+    def level(k, carry):
+        val, flg = carry
+        shift = jnp.int32(1) << k
+        sval = jnp.roll(val, shift, axis=4)
+        sflg = jnp.roll(flg, shift, axis=4)
+        in_range = pos >= shift  # positions with a valid left neighbor
+        # segmented HS: if own flag set (segment start seen), keep; else merge
+        keep_old = jnp.logical_or(flg != 0, jnp.logical_not(in_range))
+        val = _hs_masked_combine(cv, val, sval, keep_old)
+        flg = jnp.where(in_range, flg | sflg, flg)
+        return val, flg
+
+    scanned, _ = jax.lax.fori_loop(0, log_n, level, (jac, flags))
+    return scanned
+
+
+def _hs_plain_scan(cv, arr, axis: int):
+    """Inclusive EC-add prefix scan along `axis` (Hillis-Steele, one program)."""
+    n = arr.shape[axis]
+    log_n = max(1, (n - 1).bit_length())
+    shape = [1] * arr.ndim
+    shape[axis] = n
+    pos = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+
+    def level(k, val):
+        shift = jnp.int32(1) << k
+        sval = jnp.roll(val, shift, axis=axis)
+        keep_old = pos < shift
+        return _hs_masked_combine(cv, val, sval, keep_old)
+
+    return jax.lax.fori_loop(0, log_n, level, arr)
+
+
+def _stage_bucket_reduce(adapter, scanned, sorted_digits):
+    """Extract segment-end bucket sums and compute S = sum_j j*B_j."""
+    cv = CurveOps(adapter)
+    gw, n, batch = sorted_digits.shape
+    nxt = jnp.concatenate(
+        [sorted_digits[:, 1:], jnp.full_like(sorted_digits[:, :1], 0xFFFFFFFF)],
+        axis=1,
+    )
+    is_end = sorted_digits != nxt
+    target = jnp.where(is_end, sorted_digits, N_BUCKETS).astype(jnp.int32)
+    g_idx = jnp.broadcast_to(jnp.arange(gw, dtype=jnp.int32)[:, None, None], target.shape)
+    b_idx = jnp.broadcast_to(
+        jnp.arange(batch, dtype=jnp.int32)[None, None, :], target.shape
+    )
+    buckets = jnp.zeros(
+        (NUM_LIMBS, adapter.components, 3, gw, N_BUCKETS + 1, batch), dtype=U32
+    )
+    buckets = buckets.at[:, :, :, g_idx, target, b_idx].set(scanned)
+    buckets = buckets[:, :, :, :, 1:N_BUCKETS]  # drop bucket 0 and the dummy
+    # suffix sums = flip . prefix-scan . flip; S = last prefix of the suffixes
+    suffix = jnp.flip(_hs_plain_scan(cv, jnp.flip(buckets, axis=4), 4), axis=4)
+    totals = _hs_plain_scan(cv, suffix, 4)
+    return totals[:, :, :, :, -1]  # (16, C, 3, G, B)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_fns(adapter):
+    return (
+        jax.jit(functools.partial(_stage_sort_gather, adapter)),
+        jax.jit(functools.partial(_stage_segmented_scan, adapter)),
+        jax.jit(functools.partial(_stage_bucket_reduce, adapter)),
+        jax.jit(
+            functools.partial(
+                lambda ad, arr: _hs_plain_scan(CurveOps(ad), arr, 3)[:, :, :, -1],
+                adapter,
+            )
+        ),
+    )
+
+
 def msm_from_tables(adapter, tables: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
     """tables: (16, C, 2, W, n); scalars: (16, n, B) canonical limbs.
-    Returns Jacobian accumulators (16, C, 3, B)."""
-    cv = CurveOps(adapter)
+    Returns Jacobian accumulators (16, C, 3, B).
+
+    Orchestrated as separately-jitted stages per window group: each stage
+    program is small (the remote TPU compiler scales badly with module size)
+    and reused across groups, MSMs, and query sets of the same shape.
+    """
     n = tables.shape[4]
     batch = scalars.shape[2]
-    one = _one_mont(adapter, jnp.zeros((NUM_LIMBS, adapter.components, batch), dtype=U32))
-
-    def combine(a, b):
-        """Segmented-scan combiner: (value, started-new-segment flag)."""
-        av, af = a
-        bv, bf = b
-        merged = cv.add(av, bv)
-        value = jnp.where(bf != 0, bv, merged)
-        return value, jnp.bitwise_or(af, bf)
-
-    def group_body(_, inputs):
-        """One window-group pass; runs under lax.scan so the (large) sorted
-        segmented-scan graph is compiled once, not once per group."""
-        pts, digits = inputs  # pts: (16,C,2,G,n); digits: (G,n,B)
-        gw = digits.shape[0]
-        order = jnp.argsort(digits, axis=1)
-        sorted_digits = jnp.take_along_axis(digits, order, axis=1)
-        # gather points in sorted order: (16, C, 2, G, n, B)
-        pts_b = jnp.broadcast_to(pts[..., None], pts.shape + (batch,))
-        idx_b = jnp.broadcast_to(
-            order[None, None, None, :, :, :].astype(jnp.int32), pts_b.shape
-        )
-        gathered = jnp.take_along_axis(pts_b, idx_b, axis=4)
-        jac = cv.jac_from_affine(gathered, one[:, :, None, None, :])  # (16,C,3,G,n,B)
-
-        # segment starts: position 0 or digit change
-        prev = jnp.concatenate(
-            [jnp.full_like(sorted_digits[:, :1], 0xFFFFFFFF), sorted_digits[:, :-1]],
-            axis=1,
-        )
-        starts = (sorted_digits != prev).astype(U32)[None, None, None]  # (1,1,1,G,n,B)
-        scanned, _ = jax.lax.associative_scan(combine, (jac, starts), axis=4)
-
-        # segment ends hold the bucket sums
-        nxt = jnp.concatenate(
-            [sorted_digits[:, 1:], jnp.full_like(sorted_digits[:, :1], 0xFFFFFFFF)],
-            axis=1,
-        )
-        is_end = sorted_digits != nxt  # (G, n, B)
-        target = jnp.where(is_end, sorted_digits, N_BUCKETS).astype(jnp.int32)
-        g_idx = jnp.broadcast_to(
-            jnp.arange(gw, dtype=jnp.int32)[:, None, None], target.shape
-        )
-        b_idx = jnp.broadcast_to(
-            jnp.arange(batch, dtype=jnp.int32)[None, None, :], target.shape
-        )
-        buckets = jnp.zeros(
-            (NUM_LIMBS, adapter.components, 3, gw, N_BUCKETS + 1, batch), dtype=U32
-        )
-        buckets = buckets.at[:, :, :, g_idx, target, b_idx].set(scanned)
-        buckets = buckets[:, :, :, :, 1:N_BUCKETS]  # drop bucket 0 and dummy
-
-        # S = sum_{j>=1} j*B_j = sum of suffix sums over the bucket axis
-        suffix = jax.lax.associative_scan(cv.add, buckets, axis=4, reverse=True)
-        s_per_window = _tree_sum(cv, suffix, axis=4)  # (16, C, 3, G, B)
-        return None, s_per_window
+    sort_fn, scan_fn, reduce_fn, final_fn = _stage_fns(adapter)
 
     assert N_WINDOWS % WINDOW_GROUP == 0
     n_groups = N_WINDOWS // WINDOW_GROUP
     all_digits = _digits_for_windows(scalars, 0, N_WINDOWS)  # (W, n, B)
     digits_g = all_digits.reshape(n_groups, WINDOW_GROUP, n, batch)
-    tables_g = jnp.moveaxis(
-        tables.reshape(
-            NUM_LIMBS, adapter.components, 2, n_groups, WINDOW_GROUP, n
-        ),
-        3,
-        0,
-    )  # (NG, 16, C, 2, G, n)
-    _, sums = jax.lax.scan(group_body, None, (tables_g, digits_g))
-    # sums: (NG, 16, C, 3, G, B) -> (16, C, 3, W, B)
-    all_windows = jnp.moveaxis(sums, 0, 3).reshape(
-        (NUM_LIMBS, adapter.components, 3, N_WINDOWS, batch)
-    )
-    return _tree_sum(cv, all_windows, axis=3)
+    tables_g = tables.reshape(NUM_LIMBS, adapter.components, 2, n_groups, WINDOW_GROUP, n)
+    sums = []
+    for g in range(n_groups):
+        jac, sd = sort_fn(tables_g[:, :, :, g], digits_g[g])
+        scanned = scan_fn(jac, sd)
+        sums.append(reduce_fn(scanned, sd))
+    all_windows = jnp.concatenate(sums, axis=3)  # (16, C, 3, W, B)
+    return final_fn(all_windows)
 
 
 def msm_accumulate(adapter, points, scalars):
@@ -227,7 +289,9 @@ class MSM:
         enc = np.asarray(enc).reshape(NUM_LIMBS, adapter.components, self.n, 2)
         self.points = jnp.asarray(np.moveaxis(enc, 3, 2))  # (16, C, 2, n)
         self._tables = None
-        self._msm_fn = jax.jit(functools.partial(msm_from_tables, adapter))
+        # NOTE: msm_from_tables orchestrates its own per-stage jits; wrapping
+        # it in an outer jit would inline them back into one huge program.
+        self._msm_fn = functools.partial(msm_from_tables, adapter)
         self._finish_fn = jax.jit(self.curve.to_affine)
 
     def tables(self) -> jnp.ndarray:
