@@ -94,7 +94,13 @@ def sparse_matvec(matrix: SparseMatrix, assignment: jnp.ndarray) -> jnp.ndarray:
 
 
 class WitnessMapper:
-    """Precompiled witness map for one circuit's constraint matrices."""
+    """Witness map for one circuit's constraint matrices.
+
+    Orchestrated eagerly over small cached jits (matvec, NTT cores,
+    pointwise) — the remote TPU compiler scales badly with module size, so
+    one monolithic program is avoided; each piece is compiled once and
+    shared across the ifft/fft invocations.
+    """
 
     def __init__(self, matrices: ConstraintMatrices):
         self.num_constraints = matrices.num_constraints
@@ -103,25 +109,25 @@ class WitnessMapper:
         self.a = SparseMatrix(matrices.a, self.domain_size)
         self.b = SparseMatrix(matrices.b, self.domain_size)
         self.root_2n = ntt.coset_root_2n(self.domain_size)
-        self._jit = jax.jit(self._witness_map)
+        self._matvec_a = jax.jit(functools.partial(sparse_matvec, self.a))
+        self._matvec_b = jax.jit(functools.partial(sparse_matvec, self.b))
+        self._insert_pub = jax.jit(
+            lambda a, pub: jax.lax.dynamic_update_slice_in_dim(
+                a, pub, self.num_constraints, axis=1
+            )
+        )
 
     def _coset_lift(self, evals: jnp.ndarray) -> jnp.ndarray:
         poly = ntt.ifft(evals)
         shifted = ntt.distribute_powers(poly, self.root_2n)
         return ntt.fft(shifted)
 
-    def _witness_map(self, assignment: jnp.ndarray) -> jnp.ndarray:
-        a = sparse_matvec(self.a, assignment)
-        b = sparse_matvec(self.b, assignment)
-        # a[num_constraints .. num_constraints+num_inputs] = public inputs
-        pub = assignment[:, : self.num_inputs]
-        a = jax.lax.dynamic_update_slice_in_dim(a, pub, self.num_constraints, axis=1)
-        c = FrField.mul(a, b)  # only rows < num_constraints are meaningful;
-        # rows beyond have b == 0 there, so c is 0 as the reference requires
-        ab = FrField.mul(self._coset_lift(a), self._coset_lift(b))
-        h = FrField.sub(ab, self._coset_lift(c))
-        return h
-
     def witness_map(self, assignment: jnp.ndarray) -> jnp.ndarray:
         """assignment: (16, n_wires, B) Montgomery -> h: (16, domain, B)."""
-        return self._jit(assignment)
+        a = self._matvec_a(assignment)
+        b = self._matvec_b(assignment)
+        a = self._insert_pub(a, assignment[:, : self.num_inputs])
+        c = FrField.mul(a, b)  # rows past num_constraints have b == 0, so
+        # c stays 0 there exactly as the reference requires (qap.rs:60-67)
+        ab = FrField.mul(self._coset_lift(a), self._coset_lift(b))
+        return FrField.sub(ab, self._coset_lift(c))
