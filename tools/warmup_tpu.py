@@ -55,14 +55,20 @@ def main():
         )
     log("witnesses built")
 
-    t0 = time.time()
-    results = rln.generate_proofs(witnesses)
-    log(f"first batched prove done in {time.time() - t0:.1f}s")
+    from zerokit_tpu.runtime.profiling import PipelineMetrics
 
+    m1 = PipelineMetrics()
     t0 = time.time()
-    results = rln.generate_proofs(witnesses)
+    results = rln.generate_proofs(witnesses, metrics=m1)
+    log(f"first batched prove done in {time.time() - t0:.1f}s")
+    log(f"first-run stages: {m1.dumps()}")
+
+    m2 = PipelineMetrics()
+    t0 = time.time()
+    results = rln.generate_proofs(witnesses, metrics=m2)
     dt = time.time() - t0
     log(f"steady prove: {dt:.2f}s -> {batch / dt:.2f} proofs/s")
+    log(f"steady stages: {m2.dumps()}")
 
     proof, values = results[0]
     assert rln.verify(proof, values)

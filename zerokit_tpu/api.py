@@ -181,8 +181,11 @@ class RLN:
         witnesses: Sequence[RLNWitnessInput],
         rs: Optional[Sequence[int]] = None,
         ss: Optional[Sequence[int]] = None,
+        metrics=None,
     ) -> List[Tuple[tuple, RLNProofValues]]:
-        """Batched prove: the whole batch runs through the device pipeline."""
+        """Batched prove: the whole batch runs through the device pipeline.
+        Pass a runtime.profiling.PipelineMetrics as `metrics` for a per-stage
+        timing report."""
         if not witnesses:
             return []
         for w in witnesses:
@@ -193,7 +196,7 @@ class RLN:
         if ss is None:
             ss = [secrets.randbelow(R) for _ in witnesses]
         named = self._batch_named_inputs(witnesses)
-        proofs = self.prover.prove_batch(named, rs, ss)
+        proofs = self.prover.prove_batch(named, rs, ss, metrics=metrics)
         return list(zip(proofs, values))
 
     def generate_proof(

@@ -117,12 +117,19 @@ class Groth16Prover:
         named_inputs: Dict[str, Sequence[Sequence[int]]],
         rs: Sequence[int],
         ss: Sequence[int],
+        metrics=None,
     ) -> List[Proof]:
-        batch = len(rs)
-        assignment = self.full_assignments(named_inputs, batch)
-        return self.prove_batch_with_assignment(assignment, rs, ss)
+        from ..runtime.profiling import stage_timer
 
-    def prove_batch_with_assignment(self, assignment, rs, ss) -> List[Proof]:
+        batch = len(rs)
+        with stage_timer(metrics, "witness_eval"):
+            assignment = self.full_assignments(named_inputs, batch)
+            assignment.block_until_ready()
+        return self.prove_batch_with_assignment(assignment, rs, ss, metrics=metrics)
+
+    def prove_batch_with_assignment(self, assignment, rs, ss, metrics=None) -> List[Proof]:
+        from ..runtime.profiling import stage_timer
+
         batch = len(rs)
         target = _padded_batch(batch)
         if assignment.shape[2] < target:
@@ -130,18 +137,31 @@ class Groth16Prover:
                 assignment[:, :, :1], target - assignment.shape[2], axis=2
             )
             assignment = jnp.concatenate([assignment, reps], axis=2)
-        h = self.mapper.witness_map(assignment)
-        z_canon = FrField.from_mont(assignment)
-        h_canon = FrField.from_mont(h)
-        a_pts = self.msm_a.to_affine_ints(self.msm_a(z_canon))
-        b1_pts = self.msm_b1.to_affine_ints(self.msm_b1(z_canon))
-        b2_pts = self.msm_b2.to_affine_ints(self.msm_b2(z_canon))
-        l_aux = FrField.from_mont(assignment[:, self.num_inputs :])
-        l_pts = self.msm_l.to_affine_ints(self.msm_l(l_aux))
-        h_pts = self.msm_h.to_affine_ints(self.msm_h(h_canon))
+        if metrics is not None:
+            metrics.batch = batch
+        with stage_timer(metrics, "qap_witness_map") as _:
+            h = self.mapper.witness_map(assignment)
+            h.block_until_ready()
+        with stage_timer(metrics, "from_mont"):
+            z_canon = FrField.from_mont(assignment)
+            h_canon = FrField.from_mont(h)
+            h_canon.block_until_ready()
+        with stage_timer(metrics, "msm_a"):
+            a_pts = self.msm_a.to_affine_ints(self.msm_a(z_canon))
+        with stage_timer(metrics, "msm_b1"):
+            b1_pts = self.msm_b1.to_affine_ints(self.msm_b1(z_canon))
+        with stage_timer(metrics, "msm_b2"):
+            b2_pts = self.msm_b2.to_affine_ints(self.msm_b2(z_canon))
+        with stage_timer(metrics, "msm_l"):
+            l_aux = FrField.from_mont(assignment[:, self.num_inputs :])
+            l_pts = self.msm_l.to_affine_ints(self.msm_l(l_aux))
+        with stage_timer(metrics, "msm_h"):
+            h_pts = self.msm_h.to_affine_ints(self.msm_h(h_canon))
 
         pk = self.zkey.pk
         proofs: List[Proof] = []
+        t_assembly = stage_timer(metrics, "host_assembly")
+        t_assembly.__enter__()
         for b in range(batch):
             r, s = rs[b] % R, ss[b] % R
             g_a = bn254.G1.add(pk.vk.alpha_g1, a_pts[b])
@@ -158,6 +178,7 @@ class Groth16Prover:
             g_c = bn254.G1.add(g_c, l_pts[b])
             g_c = bn254.G1.add(g_c, h_pts[b])
             proofs.append((g_a, g2_b, g_c))
+        t_assembly.__exit__(None, None, None)
         return proofs
 
     # -- partial / finish ----------------------------------------------------
