@@ -206,20 +206,48 @@ def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
     return limbs, top_borrow
 
 
-def _flat2d(fn):
+# Maximum flattened batch per multiply call. The SOS multiply materializes a
+# (16, 16, N) partial-product tensor (u32), so N is capped to bound HLO temp
+# memory (N = 2^15 -> 32 MB per temp); larger batches stream through lax.map.
+MUL_CHUNK = 1 << 15
+
+
+def _flat2d(fn, chunk: bool = False):
     """Runs a limb-array op with all batch dims flattened to one axis.
 
     The compiler handles uniform (16, N) shapes far better than deep stacks
     of ops on 6-D arrays with tiny dims; reshapes at the boundary are free.
+    With chunk=True (multiply-family ops) large batches are processed in
+    MUL_CHUNK slices under lax.map so their partial-product temporaries
+    cannot exhaust HBM.
     """
 
     @functools.wraps(fn)
     def wrapped(self, *args):
         shape = args[0].shape
-        if args[0].ndim <= 2:
+        if args[0].ndim <= 2 and not (chunk and shape[-1] > MUL_CHUNK):
             return fn(self, *args)
         flat = tuple(a.reshape((a.shape[0], -1)) for a in args)
-        out = fn(self, *flat)
+        n = flat[0].shape[1]
+        if chunk and n > MUL_CHUNK:
+            k = -(-n // MUL_CHUNK)
+            pad = k * MUL_CHUNK - n
+            if pad:
+                flat = tuple(
+                    jnp.concatenate(
+                        [a, jnp.zeros((a.shape[0], pad), dtype=a.dtype)], axis=1
+                    )
+                    for a in flat
+                )
+            stacked = tuple(
+                a.reshape(a.shape[0], k, MUL_CHUNK).transpose(1, 0, 2) for a in flat
+            )
+            out = jax.lax.map(lambda xs: fn(self, *xs), stacked)  # (k, L, CHUNK)
+            out = out.transpose(1, 0, 2).reshape(out.shape[1], k * MUL_CHUNK)
+            if pad:
+                out = out[:, :n]
+        else:
+            out = fn(self, *flat)
         return out.reshape((out.shape[0],) + shape[1:])
 
     return wrapped
@@ -235,8 +263,10 @@ class Field:
             [(spec.p - 2) >> i & 1 for i in range(spec.p.bit_length())], dtype=np.uint32
         )
         # jit public entry points: fast eager calls, still inlineable under jit
+        chunked = {"mul", "sqr", "to_mont", "from_mont"}
         for name in ("add", "sub", "neg", "mul", "sqr", "to_mont", "from_mont", "inv"):
-            setattr(self, name, jax.jit(_flat2d(getattr(self, name).__func__).__get__(self)))
+            wrapped = _flat2d(getattr(self, name).__func__, chunk=name in chunked)
+            setattr(self, name, jax.jit(wrapped.__get__(self)))
 
     def _const(self, const_np, like, n=L):
         c = jnp.asarray(const_np, dtype=U32).reshape((n,) + (1,) * (like.ndim - 1))
