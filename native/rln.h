@@ -1,0 +1,127 @@
+/* C ABI for the zerokit-tpu RLN engine.
+ *
+ * Native-equivalent of the reference's safer-ffi C surface
+ * (rln/src/ffi/ffi_rln.rs, ffi_rln_v3.rs, ffi_tree.rs; header rln.h generated
+ * via the `headers` feature). The engine itself runs the TPU/JAX pipeline;
+ * this library embeds the runtime and exposes the same byte-level wire
+ * formats (protocol/serialize: v2 LE/BE witness codecs, V3 proof layout =
+ * 128-byte LE Groth16 proof + proof values).
+ *
+ * Conventions:
+ *   - all functions returning int give 0 on success, -1 on error;
+ *     rln_last_error() describes the most recent error on this thread.
+ *   - rln_buffer results are malloc'd; release with rln_buffer_free.
+ *   - field elements are 32-byte little-endian unless a `be` flag says
+ *     otherwise (utils.rs fr_to_bytes_le/be semantics).
+ */
+
+#ifndef ZEROKIT_TPU_RLN_H
+#define ZEROKIT_TPU_RLN_H
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct rln_buffer {
+  uint8_t *ptr;
+  size_t len;
+} rln_buffer;
+
+void rln_buffer_free(rln_buffer *buf);
+
+/* Most recent error message for this thread ("" if none). */
+const char *rln_last_error(void);
+
+/* ---- lifecycle (ffi_rln.rs new/free; ffi_rln_v3.rs:324-506 ctors) ---- */
+
+/* Initialize the embedded runtime explicitly (optional; first call does it).
+ * Returns 0 on success. */
+int rln_init(void);
+
+/* Create an engine. mode: "single" | "multi". tree_backend (stateful only):
+ * "full" | "optimal" | "pmtree". zkey/graph may be NULL to use the embedded
+ * depth-20 resources (circuit/mod.rs:29-82 equivalents). tree_config_json
+ * may be NULL; for "pmtree" it takes the reference's PmTreeConfig JSON
+ * (pm_tree_adapter.rs:139-174). Returns a handle > 0, or 0 on error. */
+uint64_t rln_new(int stateful, const char *mode, const char *tree_backend,
+                 const uint8_t *zkey, size_t zkey_len, const uint8_t *graph,
+                 size_t graph_len, const char *tree_config_json);
+
+void rln_free(uint64_t handle);
+
+/* ---- tree ops (ffi_tree.rs:21-258) ---- */
+
+int rln_set_leaf(uint64_t handle, uint64_t index, const uint8_t fr_le[32]);
+int rln_get_leaf(uint64_t handle, uint64_t index, rln_buffer *out);
+/* leaves: length-prefixed vec<Fr> wire bytes (utils.rs vec_fr codecs). */
+int rln_set_leaves_from(uint64_t handle, uint64_t index, const uint8_t *leaves,
+                        size_t leaves_len);
+int rln_init_tree_with_leaves(uint64_t handle, const uint8_t *leaves,
+                              size_t leaves_len);
+int rln_atomic_operation(uint64_t handle, uint64_t index,
+                         const uint8_t *leaves, size_t leaves_len,
+                         const uint64_t *indices, size_t n_indices);
+int rln_set_next_leaf(uint64_t handle, const uint8_t fr_le[32]);
+int rln_delete_leaf(uint64_t handle, uint64_t index);
+int rln_get_root(uint64_t handle, rln_buffer *out);
+int rln_get_subtree_root(uint64_t handle, uint64_t level, uint64_t index,
+                         rln_buffer *out);
+/* vec<Fr> path elements + vec<u8> path index, LE. */
+int rln_get_merkle_proof(uint64_t handle, uint64_t index, rln_buffer *out);
+/* out = little-endian u64 indices, 8 bytes each. */
+int rln_get_empty_leaves_indices(uint64_t handle, rln_buffer *out);
+int64_t rln_leaves_set(uint64_t handle);
+int rln_tree_depth(uint64_t handle);
+int rln_set_metadata(uint64_t handle, const uint8_t *data, size_t len);
+int rln_get_metadata(uint64_t handle, rln_buffer *out);
+int rln_flush(uint64_t handle);
+
+/* ---- proof ops (ffi_rln.rs prove/verify; ffi_rln_v3.rs:507-1605) ---- */
+
+/* witness: v2 wire bytes (LE when be=0); out: V3 proof wire bytes. */
+int rln_generate_proof(uint64_t handle, const uint8_t *witness,
+                       size_t witness_len, int be, rln_buffer *out);
+/* Groth16 pairing check only. *ok = 1 valid / 0 invalid. */
+int rln_verify(uint64_t handle, const uint8_t *proof, size_t proof_len,
+               int *ok);
+/* Pairing + current-root + signal checks (public.rs:725-745). */
+int rln_verify_rln_proof(uint64_t handle, const uint8_t *proof,
+                         size_t proof_len, const uint8_t x_le[32], int *ok);
+/* roots: vec<Fr> wire bytes, may be NULL/empty (public.rs:937-954 order). */
+int rln_verify_with_roots(uint64_t handle, const uint8_t *proof,
+                          size_t proof_len, const uint8_t x_le[32],
+                          const uint8_t *roots, size_t roots_len, int *ok);
+int rln_generate_partial_proof(uint64_t handle, const uint8_t *partial_witness,
+                               size_t len, int be, rln_buffer *out);
+int rln_finish_proof(uint64_t handle, const uint8_t *partial_proof,
+                     size_t partial_len, const uint8_t *witness,
+                     size_t witness_len, int be, rln_buffer *out);
+/* Two V3 proof byte strings sharing an external nullifier -> 32-byte secret
+ * (slashing.rs:43-100). Error if the proofs don't slash. */
+int rln_recover_id_secret(const uint8_t *proof1, size_t len1,
+                          const uint8_t *proof2, size_t len2, rln_buffer *out);
+
+/* ---- primitives (ffi_rln.rs keygen/hash exports) ---- */
+
+/* out = 32-byte secret || 32-byte commitment (LE). */
+int rln_keygen(rln_buffer *out);
+int rln_seeded_keygen(const uint8_t *seed, size_t seed_len, rln_buffer *out);
+/* out = trapdoor || nullifier || secret || commitment (4 x 32 bytes). */
+int rln_extended_keygen(rln_buffer *out);
+int rln_extended_seeded_keygen(const uint8_t *seed, size_t seed_len,
+                               rln_buffer *out);
+/* Keccak256 hash-to-field (hashers.rs:66-93). */
+int rln_hash_to_field(const uint8_t *signal, size_t len, int be,
+                      rln_buffer *out);
+/* inputs: vec<Fr> wire bytes; Poseidon arity picked from length. */
+int rln_poseidon_hash(const uint8_t *inputs, size_t inputs_len,
+                      rln_buffer *out);
+
+#ifdef __cplusplus
+} /* extern "C" */
+#endif
+
+#endif /* ZEROKIT_TPU_RLN_H */

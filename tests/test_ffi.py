@@ -1,0 +1,213 @@
+"""Drives the C ABI (native/librln_ffi.so) in-process via ctypes.
+
+Mirrors the reference's FFI test strategy (rln/tests/ffi.rs: merkle ops,
+proofs, verify_with_roots, recover_id_secret, metadata — all through the C
+surface, checked against the native-language API).
+"""
+
+import ctypes
+import os
+
+import pytest
+
+from zerokit_tpu.protocol import serialize as ser
+from zerokit_tpu.protocol.keygen import hash_to_field_le, seeded_keygen
+from zerokit_tpu.hash.poseidon import poseidon_hash, poseidon_hash_pair
+from zerokit_tpu.resources import load_resource
+from zerokit_tpu.tree.merkle import OptimalMerkleTree
+
+NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+LIB = os.path.join(NATIVE_DIR, "librln_ffi.so")
+
+
+class RlnBuffer(ctypes.Structure):
+    _fields_ = [("ptr", ctypes.POINTER(ctypes.c_uint8)), ("len", ctypes.c_size_t)]
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not os.path.exists(LIB):
+        from zerokit_tpu.runtime.build import build_ffi
+
+        build_ffi()
+    lib = ctypes.CDLL(LIB)
+    lib.rln_last_error.restype = ctypes.c_char_p
+    lib.rln_new.restype = ctypes.c_uint64
+    lib.rln_new.argtypes = [
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_char_p,
+    ]
+    lib.rln_leaves_set.restype = ctypes.c_int64
+    assert lib.rln_init() == 0, lib.rln_last_error()
+    return lib
+
+
+def take(lib, buf: RlnBuffer) -> bytes:
+    out = ctypes.string_at(buf.ptr, buf.len)
+    lib.rln_buffer_free(ctypes.byref(buf))
+    return out
+
+
+def fr(v: int) -> bytes:
+    return ser.fr_to_bytes(v, False)
+
+
+def from_fr(data: bytes) -> int:
+    return ser.bytes_to_fr(data, False)[0]
+
+
+@pytest.fixture(scope="module")
+def engine(lib):
+    """Stateful engine over the depth-10 circuit (small => fast tests)."""
+    zkey = load_resource("tree_depth_10/rln_final.arkzkey")
+    graph = load_resource("tree_depth_10/graph.bin")
+    h = lib.rln_new(1, b"single", b"optimal", zkey, len(zkey), graph, len(graph), None)
+    assert h != 0, lib.rln_last_error()
+    yield h
+    lib.rln_free(h)
+
+
+def test_keygen_and_hash(lib):
+    buf = RlnBuffer()
+    assert lib.rln_seeded_keygen(b"ffi-seed", 8, ctypes.byref(buf)) == 0
+    data = take(lib, buf)
+    assert len(data) == 64
+    sk, pk = seeded_keygen(b"ffi-seed")
+    assert from_fr(data[:32]) == int(sk)
+    assert from_fr(data[32:]) == pk
+
+    assert lib.rln_hash_to_field(b"hello", 5, 0, ctypes.byref(buf)) == 0
+    assert from_fr(take(lib, buf)) == hash_to_field_le(b"hello")
+
+    inputs = ser.vec_fr_to_bytes([1, 2], False)
+    assert lib.rln_poseidon_hash(inputs, len(inputs), ctypes.byref(buf)) == 0
+    assert from_fr(take(lib, buf)) == poseidon_hash_pair(1, 2)
+
+
+def test_tree_ops_match_python(lib, engine):
+    assert lib.rln_tree_depth(engine) == 10
+    ref = OptimalMerkleTree(10)
+    leaves = [poseidon_hash([i]) for i in range(8)]
+    for i, leaf in enumerate(leaves):
+        ref.set(i, leaf)
+    blob = ser.vec_fr_to_bytes(leaves, False)
+    assert lib.rln_set_leaves_from(engine, 0, blob, len(blob)) == 0
+    buf = RlnBuffer()
+    assert lib.rln_get_root(engine, ctypes.byref(buf)) == 0
+    assert from_fr(take(lib, buf)) == ref.root()
+    assert lib.rln_leaves_set(engine) == 8
+
+    # merkle proof serialization: vec<Fr> elements + vec<u8> index
+    assert lib.rln_get_merkle_proof(engine, 3, ctypes.byref(buf)) == 0
+    data = take(lib, buf)
+    elements, used = ser.bytes_to_vec_fr(data, False)
+    indices, _ = ser.bytes_to_vec_u8(data[used:], False)
+    proof = ref.proof(3)
+    assert elements == proof.get_path_elements()
+    assert indices == proof.get_path_index()
+
+    # single leaf roundtrip + subtree root + delete
+    assert lib.rln_set_leaf(engine, 9, fr(42)) == 0
+    ref.set(9, 42)
+    assert lib.rln_get_leaf(engine, 9, ctypes.byref(buf)) == 0
+    assert from_fr(take(lib, buf)) == 42
+    assert lib.rln_get_subtree_root(engine, 1, 0, ctypes.byref(buf)) == 0
+    assert from_fr(take(lib, buf)) == ref.get_subtree_root(1, 0)
+    assert lib.rln_delete_leaf(engine, 9) == 0
+    ref.delete(9)
+    assert lib.rln_get_root(engine, ctypes.byref(buf)) == 0
+    assert from_fr(take(lib, buf)) == ref.root()
+
+    # atomic op: overwrite 2 leaves, remove index 0
+    new_leaves = ser.vec_fr_to_bytes([111, 222], False)
+    idx = (ctypes.c_uint64 * 1)(0)
+    assert lib.rln_atomic_operation(engine, 1, new_leaves, len(new_leaves), idx, 1) == 0
+    ref.override_range(1, [111, 222], [0])
+    assert lib.rln_get_root(engine, ctypes.byref(buf)) == 0
+    assert from_fr(take(lib, buf)) == ref.root()
+
+
+def test_metadata_roundtrip(lib, engine):
+    buf = RlnBuffer()
+    assert lib.rln_set_metadata(engine, b"ffi-meta", 8) == 0
+    assert lib.rln_get_metadata(engine, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == b"ffi-meta"
+
+
+def test_error_reporting(lib):
+    buf = RlnBuffer()
+    assert lib.rln_get_root(999999, ctypes.byref(buf)) == -1
+    assert b"handle" in lib.rln_last_error()
+
+
+@pytest.mark.slow
+def test_proof_roundtrip_and_slashing(lib, engine):
+    from zerokit_tpu.protocol.witness import RLNWitnessInput
+
+    buf = RlnBuffer()
+    limit = 100
+    sk, pk = seeded_keygen(b"ffi-prover")
+    rate_commitment = poseidon_hash_pair(pk, limit)
+    assert lib.rln_set_leaf(engine, 5, fr(rate_commitment)) == 0
+
+    assert lib.rln_get_merkle_proof(engine, 5, ctypes.byref(buf)) == 0
+    data = take(lib, buf)
+    elements, used = ser.bytes_to_vec_fr(data, False)
+    indices, _ = ser.bytes_to_vec_u8(data[used:], False)
+
+    ext = hash_to_field_le(b"ffi-epoch")
+
+    def witness_bytes(signal: bytes, message_id: int = 1) -> bytes:
+        w = RLNWitnessInput.new_single(
+            sk, limit, message_id, elements, indices, hash_to_field_le(signal), ext
+        )
+        return ser.rln_witness_to_bytes(w, False)
+
+    wb = witness_bytes(b"sig-1")
+    assert lib.rln_generate_proof(engine, wb, len(wb), 0, ctypes.byref(buf)) == 0, (
+        lib.rln_last_error()
+    )
+    proof1 = take(lib, buf)
+
+    ok = ctypes.c_int(-1)
+    assert lib.rln_verify(engine, proof1, len(proof1), ctypes.byref(ok)) == 0
+    assert ok.value == 1
+
+    x = fr(hash_to_field_le(b"sig-1"))
+    assert lib.rln_verify_rln_proof(engine, proof1, len(proof1), x, ctypes.byref(ok)) == 0
+    assert ok.value == 1
+    # wrong signal is a semantic rejection, not an error
+    bad_x = fr(hash_to_field_le(b"other"))
+    assert (
+        lib.rln_verify_rln_proof(engine, proof1, len(proof1), bad_x, ctypes.byref(ok))
+        == 0
+    )
+    assert ok.value == 0
+
+    _, root_used = ser.bytes_to_proof_v3(proof1)
+    roots = ser.vec_fr_to_bytes([root_used.root], False)
+    assert (
+        lib.rln_verify_with_roots(
+            engine, proof1, len(proof1), x, roots, len(roots), ctypes.byref(ok)
+        )
+        == 0
+    )
+    assert ok.value == 1
+
+    # double-signal in the same epoch -> secret recovery through the C ABI
+    wb2 = witness_bytes(b"sig-2")
+    assert lib.rln_generate_proof(engine, wb2, len(wb2), 0, ctypes.byref(buf)) == 0
+    proof2 = take(lib, buf)
+    assert (
+        lib.rln_recover_id_secret(
+            proof1, len(proof1), proof2, len(proof2), ctypes.byref(buf)
+        )
+        == 0
+    ), lib.rln_last_error()
+    assert from_fr(take(lib, buf)) == int(sk)

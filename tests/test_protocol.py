@@ -211,3 +211,23 @@ def test_compute_tree_root_matches_reference_vector():
     proof = tree.proof(3)
     root = compute_tree_root(secret, 100, proof.get_path_elements(), proof.get_path_index())
     assert root == tree.root()
+
+
+def test_id_secret_zeroizing_wrapper():
+    """IdSecret semantics per reference utils.rs:440-545."""
+    from zerokit_tpu.protocol.identity import IdSecret
+
+    s = IdSecret(12345)
+    assert int(s) == 12345
+    assert s == 12345
+    assert s % R == 12345
+    assert s.to_bytes_le() == (12345).to_bytes(32, "little")
+    assert s.to_bytes_be() == (12345).to_bytes(32, "big")
+    assert IdSecret.from_bytes_le(s.to_bytes_le()) == s
+    assert "12345" not in repr(s)  # never prints the secret
+    s.zeroize()
+    assert int(s) == 0
+
+    sk, pk = keygen()
+    assert isinstance(sk, IdSecret)
+    assert poseidon_hash([int(sk)]) == pk

@@ -10,6 +10,7 @@ protocol layer (identities, proofs, slashing, byte-exact wire formats).
 __version__ = "0.1.0"
 
 from .api import RLN  # noqa: F401
+from .protocol.identity import IdSecret  # noqa: F401
 from .protocol.keygen import (  # noqa: F401
     extended_keygen,
     extended_seeded_keygen,

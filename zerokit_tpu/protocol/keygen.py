@@ -16,6 +16,7 @@ from ..constants import R
 from ..hash.chacha import ChaCha20Rng, ark_fr_rand
 from ..hash.keccak import keccak256
 from ..hash.poseidon import poseidon_hash, poseidon_hash_pair
+from .identity import IdSecret
 
 
 def hash_to_field_le(signal: bytes) -> int:
@@ -28,29 +29,30 @@ def hash_to_field_be(signal: bytes) -> int:
     return int.from_bytes(bytes(digest), "big") % R
 
 
-def keygen() -> Tuple[int, int]:
-    """(identity_secret, id_commitment = Poseidon(secret))."""
+def keygen() -> Tuple[IdSecret, int]:
+    """(identity_secret, id_commitment = Poseidon(secret)); the secret is a
+    zeroizing IdSecret (utils.rs:440-545)."""
     secret = secrets.randbelow(R)
-    return secret, poseidon_hash([secret])
+    return IdSecret(secret), poseidon_hash([secret])
 
 
-def extended_keygen() -> Tuple[int, int, int, int]:
+def extended_keygen() -> Tuple[int, int, IdSecret, int]:
     """(trapdoor, nullifier, secret = H(t, n), commitment = H(secret))."""
     trapdoor = secrets.randbelow(R)
     nullifier = secrets.randbelow(R)
     secret = poseidon_hash_pair(trapdoor, nullifier)
-    return trapdoor, nullifier, secret, poseidon_hash([secret])
+    return trapdoor, nullifier, IdSecret(secret), poseidon_hash([secret])
 
 
-def seeded_keygen(signal: bytes) -> Tuple[int, int]:
+def seeded_keygen(signal: bytes) -> Tuple[IdSecret, int]:
     rng = ChaCha20Rng(keccak256(signal))
     secret = ark_fr_rand(rng)
-    return secret, poseidon_hash([secret])
+    return IdSecret(secret), poseidon_hash([secret])
 
 
-def extended_seeded_keygen(signal: bytes) -> Tuple[int, int, int, int]:
+def extended_seeded_keygen(signal: bytes) -> Tuple[int, int, IdSecret, int]:
     rng = ChaCha20Rng(keccak256(signal))
     trapdoor = ark_fr_rand(rng)
     nullifier = ark_fr_rand(rng)
     secret = poseidon_hash_pair(trapdoor, nullifier)
-    return trapdoor, nullifier, secret, poseidon_hash([secret])
+    return trapdoor, nullifier, IdSecret(secret), poseidon_hash([secret])

@@ -15,6 +15,28 @@ def build() -> str:
     return out
 
 
+def _pyconfig(*flags: str) -> list:
+    out = subprocess.run(
+        ["python3-config", *flags], check=True, capture_output=True, text=True
+    ).stdout
+    return out.split()
+
+
+def build_ffi() -> str:
+    """Builds the C-ABI frontend librln_ffi.so (embeds CPython; see rln.h)."""
+    src = os.path.join(NATIVE_DIR, "rln_ffi.cpp")
+    out = os.path.join(NATIVE_DIR, "librln_ffi.so")
+    cmd = (
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", out, src]
+        + _pyconfig("--includes")
+        + _pyconfig("--ldflags", "--embed")
+    )
+    subprocess.run(cmd, check=True)
+    return out
+
+
 if __name__ == "__main__":
     path = build()
+    print(f"built {path}", file=sys.stderr)
+    path = build_ffi()
     print(f"built {path}", file=sys.stderr)
