@@ -58,7 +58,7 @@ def build_witnesses(batch):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     from zerokit_tpu import RLN
 
     log(f"devices: {jax.devices()}")

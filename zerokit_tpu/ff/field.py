@@ -9,12 +9,13 @@ reference, e.g. rln/src/circuit/mod.rs:91-94) with a TPU-native formulation:
     op and every limb op is a full-width vector op.
   * 16-bit limbs make every partial product exact in uint32 (16x16 -> 32)
     with no widening multiplies or carry flags, which TPUs don't have.
-  * The 256 partial products of a multiply are formed as ONE broadcast outer
-    product (16,16,batch), split lo/hi, and summed along anti-diagonals with
-    a pad+reshape skew (a relayout, not a gather), keeping the op count per
-    field-mul tiny (fast XLA compile, good fusion) and the work vectorized.
-  * Column accumulators stay < 2^21 (16 terms of < 2^16 each), then a single
-    lax.scan ripple-carry normalizes to 16-bit limbs.
+  * The 256 partial products of a multiply are 16 unrolled shifted
+    multiply-accumulates into 32 per-column row registers — every temporary
+    is an (N,)-shaped elementwise value, so XLA fuses the whole multiply into
+    one register-resident kernel with ~256 B/lane of memory traffic (no
+    (16,16,N) tensors, no relayouts).
+  * Column accumulators stay < 2^21 (32 terms of < 2^16 each), then
+    log-depth carry-lookahead normalizes to 16-bit limbs.
   * Montgomery (SOS) reduction, R = 2^256: u = (t + ((t mod R)*n' mod R)*p)/R.
 
 All functions are pure jnp and jit/vmap/shard_map-compatible. Hot paths can be
@@ -121,31 +122,30 @@ def decode_canonical_fast(limbs: np.ndarray) -> List[int]:
 # ---------------------------------------------------------------------------
 
 
-def _skew_diag_sum(m: jnp.ndarray) -> jnp.ndarray:
-    """Sums anti-diagonals of m: (16, 16, *batch) -> (31, *batch).
-
-    out[k] = sum_{i+j=k} m[i, j]. Implemented by padding rows to width 32,
-    flattening the two limb axes, and re-viewing with row stride 31 so row i
-    lands shifted right by i — a pure relayout, no gathers.
-    """
-    batch = m.shape[2:]
-    mp = jnp.pad(m, ((0, 0), (0, L)) + ((0, 0),) * len(batch))  # (16, 32, *b)
-    flat = mp.reshape((L * 2 * L,) + batch)
-    skewed = flat[: L * (2 * L - 1)].reshape((L, 2 * L - 1) + batch)
-    return skewed.sum(axis=0, dtype=U32)
-
-
 def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, n_cols: int = 2 * L) -> jnp.ndarray:
-    """Column accumulators of a*b: (n_cols, *batch), each < 2^21."""
-    prod = a[:, None] * b[None, :]  # (16, 16, *batch) — exact in uint32
-    lo = prod & _MASK
-    hi = prod >> LIMB_BITS
-    slo = _skew_diag_sum(lo)  # cols 0..30
-    shi = _skew_diag_sum(hi)  # cols 1..31
-    batch = a.shape[1:]
-    z1 = jnp.zeros((1,) + batch, dtype=U32)
-    cols = jnp.concatenate([slo, z1], axis=0) + jnp.concatenate([z1, shi], axis=0)
-    return cols[:n_cols]
+    """Column accumulators of a*b: (n_cols, *batch), each < 2^21.
+
+    Schoolbook columns as 16 unrolled shifted multiply-accumulates: for each
+    limb j of b, the (16, N) product row a * b[j] splits into lo/hi halves
+    that accumulate into per-column row registers at offsets j and j+1. All
+    temporaries are (N,)-shaped elementwise values — no (16, 16, N) tensor
+    and no pad/reshape relayouts — so XLA fuses the whole thing into one
+    register-resident elementwise kernel; memory traffic is just the in/out
+    rows (~256 B/lane vs ~1 KB/lane for the outer-product formulation).
+    """
+    rows = [None] * (2 * L)
+
+    def acc(idx, v):
+        rows[idx] = v if rows[idx] is None else rows[idx] + v
+
+    for j in range(L):
+        prod = a * b[j][None]  # (16, *batch) — 16x16-bit products exact in u32
+        lo = prod & _MASK
+        hi = prod >> LIMB_BITS
+        for i in range(L):
+            acc(i + j, lo[i])
+            acc(i + j + 1, hi[i])
+    return jnp.stack(rows[:n_cols], axis=0)
 
 
 def _kogge_stone_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -206,10 +206,11 @@ def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
     return limbs, top_borrow
 
 
-# Maximum flattened batch per multiply call. The SOS multiply materializes a
-# (16, 16, N) partial-product tensor (u32), so N is capped to bound HLO temp
-# memory (N = 2^15 -> 32 MB per temp); larger batches stream through lax.map.
-MUL_CHUNK = 1 << 15
+# Maximum flattened batch per multiply call. The row-accumulator multiply
+# keeps ~48 live (N,) u32 rows (~200 B/lane), so chunks can be large; the cap
+# bounds peak temp memory (2^21 lanes -> ~400 MB live) while keeping each
+# kernel far off the latency floor. Larger batches stream through lax.map.
+MUL_CHUNK = 1 << 21
 
 
 def _flat2d(fn, chunk: bool = False):

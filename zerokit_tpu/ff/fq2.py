@@ -14,6 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .field import FQ, FqField
+from ..constants import B_G2, Q
 
 
 class FqAdapter:
@@ -68,6 +69,14 @@ class FqAdapter:
     @staticmethod
     def zeros_like(a):
         return jnp.zeros_like(a)
+
+    @staticmethod
+    def b3_mul(a):
+        """a * 3b for G1 (b = 3): a * 9 = 8a + a, pure additions."""
+        d = FqField.add(a, a)
+        d = FqField.add(d, d)
+        d = FqField.add(d, d)
+        return FqField.add(d, a)
 
 
 class Fq2Adapter:
@@ -149,3 +158,20 @@ class Fq2Adapter:
     @staticmethod
     def zeros_like(a):
         return jnp.zeros_like(a)
+
+    @staticmethod
+    def b3_mul(a):
+        """a * 3b for G2's twist constant b = B_G2 in Fq2 (one Fq2 mul by a
+        precomputed Montgomery constant)."""
+        c = jnp.asarray(_B3_G2_MONT).reshape((16, 2) + (1,) * (a.ndim - 2))
+        return Fq2Adapter.mul(a, jnp.broadcast_to(c, a.shape))
+
+
+# 3 * B_G2 in Montgomery form, laid out (16 limbs, 2 components)
+_B3_G2_MONT = np.stack(
+    [
+        np.asarray(FQ.encode([3 * B_G2[0] % Q])).reshape(-1),
+        np.asarray(FQ.encode([3 * B_G2[1] % Q])).reshape(-1),
+    ],
+    axis=1,
+)

@@ -1,0 +1,583 @@
+"""Pallas TPU kernels for BN254 limb arithmetic and EC group laws.
+
+Why: the XLA elementwise formulation of a Montgomery multiply is a ~1500-op
+chain per lane; XLA cannot keep that in registers, so intermediates spill to
+HBM and the measured throughput is ~50x below the ALU bound. These kernels
+run the ENTIRE multiply (and the entire RCB EC add, which calls it 12x)
+inside one Pallas invocation: every temporary lives in VMEM/vregs, and HBM
+traffic is just the kernel's inputs and outputs.
+
+Representation inside a kernel: a field element is a Python list of 16
+separate (8, W) uint32 row values — one per 16-bit limb, each exactly
+vreg-tiled. All cross-limb data movement (column shifts in the schoolbook
+multiply, carry propagation) becomes list reindexing at TRACE time; the
+compiled code is pure elementwise VPU ops with no sublane/lane shuffles.
+
+Host-side arrays keep the package convention (16, *batch) u32; wrappers
+reshape batch to (8, N/8) lanes and pad to the block width.
+
+Kernels:
+  * mont_mul(a, b)          — elementwise field multiply (Fr or Fq)
+  * ec_add(p, q)            — complete projective add, G1/G2 (RCB15 Alg 7)
+  * ec_add_mixed(p, q_aff)  — mixed add (Alg 8) + affine-infinity select
+  * ec_double(p)            — doubling (Alg 9)
+
+Reference semantics: ark-ff Montgomery backend / ark-ec short Weierstrass
+(used throughout vacp2p/zerokit via arkworks, e.g. rln/src/circuit/mod.rs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import LIMB_BITS, LIMB_MASK, NUM_LIMBS
+from .field import FQ, FR, FieldSpec
+
+L = NUM_LIMBS  # 16
+U32 = jnp.uint32
+MASK = np.uint32(LIMB_MASK)
+
+# Lane width per block: (8, W) per limb row; block bytes for one field
+# element = 16 * 8 * W * 4. Sized so a kernel's live row values (inputs,
+# outputs, double-buffered blocks, ~10 live field temporaries) stay inside
+# the 16 MB VMEM budget: G2 kernels hold 2x the rows (Fq2), so half the width.
+LANE_W = 512
+_LANE_W_BY_KERNEL = {
+    "g2_add": 128,
+    "g2_add_mixed": 128,
+    "g2_double": 256,
+}
+
+
+def _lane_w(kernel_name: str) -> int:
+    return _LANE_W_BY_KERNEL.get(kernel_name, LANE_W)
+
+
+def _block_lanes(kernel_name: str) -> int:
+    return 8 * _lane_w(kernel_name)
+
+
+# --------------------------------------------------------------------------
+# Row-list arithmetic (pure jnp on (8, W) values; usable inside kernels)
+# --------------------------------------------------------------------------
+
+
+def _const_rows(limbs: np.ndarray, like) -> List:
+    """16 constant rows broadcast to like's shape."""
+    return [jnp.full_like(like, np.uint32(limbs[i])) for i in range(L)]
+
+
+def _mul_cols_rows(a: Sequence, b: Sequence, n_cols: int) -> List:
+    """Schoolbook column accumulators of a*b as n_cols rows (< 2^21 each)."""
+    rows: List = [None] * (n_cols + 1)
+
+    def acc(idx, v):
+        if idx <= n_cols:
+            rows[idx] = v if rows[idx] is None else rows[idx] + v
+
+    for j in range(L):
+        if j > n_cols:
+            break
+        for i in range(L):
+            if i + j > n_cols:
+                break
+            prod = a[i] * b[j]
+            acc(i + j, prod & MASK)
+            acc(i + j + 1, prod >> LIMB_BITS)
+    zero = jnp.zeros_like(a[0])
+    return [zero if r is None else r for r in rows[:n_cols]]
+
+
+def _ks_carries(g: List, p: List) -> List:
+    """Kogge-Stone carry-lookahead over row lists: returns carry-in rows."""
+    n = len(g)
+    g = list(g)
+    p = list(p)
+    shift = 1
+    while shift < n:
+        ng = list(g)
+        np_ = list(p)
+        for i in range(shift, n):
+            ng[i] = g[i] | (p[i] & g[i - shift])
+            np_[i] = p[i] & p[i - shift]
+        g, p = ng, np_
+        shift *= 2
+    zero = jnp.zeros_like(g[0])
+    return [zero] + g[:-1]
+
+
+def _carry_fold_rows(cols: Sequence, n_out: int):
+    """Normalize column accumulators (< 2^26) to n_out 16-bit limb rows.
+    Returns (rows, carry_out_row)."""
+    cols = list(cols)
+    zero = jnp.zeros_like(cols[0])
+    while len(cols) < n_out:
+        cols.append(zero)
+    cols = cols[:n_out]
+    lo = [c & MASK for c in cols]
+    hi = [c >> LIMB_BITS for c in cols]
+    y = [lo[0]] + [lo[i] + hi[i - 1] for i in range(1, n_out)]
+    g = [v >> LIMB_BITS for v in y]
+    p = [((v & MASK) == MASK).astype(U32) for v in y]
+    c = _ks_carries(g, p)
+    rows = [(y[i] + c[i]) & MASK for i in range(n_out)]
+    top = y[-1] + c[-1]
+    carry = (top >> LIMB_BITS) + hi[-1]
+    return rows, carry
+
+
+def _sub_rows(a: Sequence, b: Sequence):
+    """a - b over limb rows; returns (rows, borrow_row)."""
+    n = len(a)
+    d = [a[i] - b[i] for i in range(n)]
+    g = [(a[i] < b[i]).astype(U32) for i in range(n)]
+    p = [(a[i] == b[i]).astype(U32) for i in range(n)]
+    bin_ = _ks_carries(g, p)
+    rows = [(d[i] - bin_[i]) & MASK for i in range(n)]
+    borrow = g[-1] | (p[-1] & bin_[-1])
+    return rows, borrow
+
+
+class RowField:
+    """Field ops on 16-row-list elements; bound to one FieldSpec."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.p_limbs = spec.p_limbs
+        self.ninv_limbs = spec.ninv_limbs
+        self.one_limbs = spec.one_mont
+
+    def _cond_sub_p(self, rows: List, extra: jnp.ndarray = None) -> List:
+        p_rows = _const_rows(self.p_limbs, rows[0])
+        diff, borrow = _sub_rows(rows, p_rows)
+        use_diff = borrow == 0
+        if extra is not None:
+            use_diff = jnp.logical_or(use_diff, extra != 0)
+        return [jnp.where(use_diff, diff[i], rows[i]) for i in range(L)]
+
+    def add(self, a: Sequence, b: Sequence) -> List:
+        rows, carry = _carry_fold_rows([a[i] + b[i] for i in range(L)], L)
+        return self._cond_sub_p(rows, carry)
+
+    def sub(self, a: Sequence, b: Sequence) -> List:
+        diff, borrow = _sub_rows(a, b)
+        p_rows = _const_rows(self.p_limbs, a[0])
+        corrected = [diff[i] + jnp.where(borrow != 0, p_rows[i], 0) for i in range(L)]
+        rows, _ = _carry_fold_rows(corrected, L)
+        return [jnp.where(borrow != 0, rows[i], diff[i]) for i in range(L)]
+
+    def neg(self, a: Sequence) -> List:
+        p_rows = _const_rows(self.p_limbs, a[0])
+        diff, _ = _sub_rows(p_rows, a)
+        z = self.is_zero(a)
+        return [jnp.where(z, jnp.zeros_like(a[i]), diff[i]) for i in range(L)]
+
+    def is_zero(self, a: Sequence) -> jnp.ndarray:
+        acc = a[0]
+        for i in range(1, L):
+            acc = acc | a[i]
+        return acc == 0
+
+    def select(self, cond, a: Sequence, b: Sequence) -> List:
+        return [jnp.where(cond, a[i], b[i]) for i in range(L)]
+
+    def mont_reduce(self, t_cols: Sequence) -> List:
+        """SOS reduction of 32 column accumulators -> 16 reduced limb rows."""
+        t, t_extra = _carry_fold_rows(t_cols, 2 * L)
+        ninv = _const_rows(self.ninv_limbs, t[0])
+        m_cols = _mul_cols_rows(t[:L], ninv, L)
+        m, _ = _carry_fold_rows(m_cols, L)
+        p_rows = _const_rows(self.p_limbs, t[0])
+        mp_cols = _mul_cols_rows(m, p_rows, 2 * L)
+        total = [mp_cols[i] + t[i] for i in range(2 * L)]
+        folded, overflow = _carry_fold_rows(total, 2 * L)
+        return self._cond_sub_p(folded[L:], overflow + t_extra)
+
+    def mul(self, a: Sequence, b: Sequence) -> List:
+        return self.mont_reduce(_mul_cols_rows(a, b, 2 * L))
+
+    def sqr(self, a: Sequence) -> List:
+        return self.mul(a, a)
+
+
+ROW_FR = RowField(FR)
+ROW_FQ = RowField(FQ)
+
+
+# --------------------------------------------------------------------------
+# Fq / Fq2 adapters over row lists (elements: list of C lists of 16 rows)
+# --------------------------------------------------------------------------
+
+
+class RowFqAdapter:
+    components = 1
+    rf = ROW_FQ
+
+    @classmethod
+    def add(cls, a, b):
+        return [cls.rf.add(a[0], b[0])]
+
+    @classmethod
+    def sub(cls, a, b):
+        return [cls.rf.sub(a[0], b[0])]
+
+    @classmethod
+    def neg(cls, a):
+        return [cls.rf.neg(a[0])]
+
+    @classmethod
+    def mul(cls, a, b):
+        return [cls.rf.mul(a[0], b[0])]
+
+    @classmethod
+    def sqr(cls, a):
+        return [cls.rf.sqr(a[0])]
+
+    @classmethod
+    def is_zero(cls, a):
+        return cls.rf.is_zero(a[0])
+
+    @classmethod
+    def select(cls, cond, a, b):
+        return [cls.rf.select(cond, a[0], b[0])]
+
+    @classmethod
+    def b3_mul(cls, a):
+        """* 9 (b = 3 for G1): 8a + a via additions."""
+        d = cls.rf.add(a[0], a[0])
+        d = cls.rf.add(d, d)
+        d = cls.rf.add(d, d)
+        return [cls.rf.add(d, a[0])]
+
+    @classmethod
+    def one(cls, like):
+        return [_const_rows(cls.rf.one_limbs, like)]
+
+    @classmethod
+    def zero(cls, like):
+        z = jnp.zeros_like(like)
+        return [[z] * L]
+
+
+class RowFq2Adapter:
+    components = 2
+    rf = ROW_FQ
+
+    @classmethod
+    def add(cls, a, b):
+        return [cls.rf.add(a[0], b[0]), cls.rf.add(a[1], b[1])]
+
+    @classmethod
+    def sub(cls, a, b):
+        return [cls.rf.sub(a[0], b[0]), cls.rf.sub(a[1], b[1])]
+
+    @classmethod
+    def neg(cls, a):
+        return [cls.rf.neg(a[0]), cls.rf.neg(a[1])]
+
+    @classmethod
+    def mul(cls, a, b):
+        rf = cls.rf
+        t0 = rf.mul(a[0], b[0])
+        t1 = rf.mul(a[1], b[1])
+        t2 = rf.mul(rf.add(a[0], a[1]), rf.add(b[0], b[1]))
+        return [rf.sub(t0, t1), rf.sub(rf.sub(t2, t0), t1)]
+
+    @classmethod
+    def sqr(cls, a):
+        rf = cls.rf
+        c0 = rf.mul(rf.add(a[0], a[1]), rf.sub(a[0], a[1]))
+        t = rf.mul(a[0], a[1])
+        return [c0, rf.add(t, t)]
+
+    @classmethod
+    def is_zero(cls, a):
+        return jnp.logical_and(cls.rf.is_zero(a[0]), cls.rf.is_zero(a[1]))
+
+    @classmethod
+    def select(cls, cond, a, b):
+        return [cls.rf.select(cond, a[0], b[0]), cls.rf.select(cond, a[1], b[1])]
+
+    @classmethod
+    def b3_mul(cls, a):
+        from .fq2 import _B3_G2_MONT
+
+        c = [
+            _const_rows(np.ascontiguousarray(_B3_G2_MONT[:, 0]), a[0][0]),
+            _const_rows(np.ascontiguousarray(_B3_G2_MONT[:, 1]), a[0][0]),
+        ]
+        return cls.mul(a, c)
+
+    @classmethod
+    def one(cls, like):
+        z = jnp.zeros_like(like)
+        return [_const_rows(cls.rf.one_limbs, like), [z] * L]
+
+    @classmethod
+    def zero(cls, like):
+        z = jnp.zeros_like(like)
+        return [[z] * L, [z] * L]
+
+
+def row_adapter_for(components: int):
+    return RowFqAdapter if components == 1 else RowFq2Adapter
+
+
+# --------------------------------------------------------------------------
+# RCB15 group laws on row-list points (point = list of 3 field elements)
+# --------------------------------------------------------------------------
+
+
+def rcb_add(ra, p, q):
+    """Complete projective add (Alg 7, a=0)."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    t0 = ra.mul(x1, x2)
+    t1 = ra.mul(y1, y2)
+    t2 = ra.mul(z1, z2)
+    t3 = ra.sub(ra.mul(ra.add(x1, y1), ra.add(x2, y2)), ra.add(t0, t1))
+    t4 = ra.sub(ra.mul(ra.add(y1, z1), ra.add(y2, z2)), ra.add(t1, t2))
+    ty = ra.sub(ra.mul(ra.add(x1, z1), ra.add(x2, z2)), ra.add(t0, t2))
+    t0 = ra.add(ra.add(t0, t0), t0)
+    t2 = ra.b3_mul(t2)
+    z3 = ra.add(t1, t2)
+    t1 = ra.sub(t1, t2)
+    ty = ra.b3_mul(ty)
+    x3 = ra.sub(ra.mul(t3, t1), ra.mul(t4, ty))
+    y3 = ra.add(ra.mul(t1, z3), ra.mul(ty, t0))
+    z3 = ra.add(ra.mul(z3, t4), ra.mul(t0, t3))
+    return [x3, y3, z3]
+
+
+def rcb_add_mixed(ra, p, q_aff):
+    """Mixed add (Alg 8, a=0) + select for the affine (0,0) infinity."""
+    x1, y1, z1 = p
+    x2, y2 = q_aff
+    t0 = ra.mul(x1, x2)
+    t1 = ra.mul(y1, y2)
+    t3 = ra.sub(ra.mul(ra.add(x1, y1), ra.add(x2, y2)), ra.add(t0, t1))
+    t4 = ra.add(ra.mul(x2, z1), x1)
+    t5 = ra.add(ra.mul(y2, z1), y1)
+    t0 = ra.add(ra.add(t0, t0), t0)
+    t2 = ra.b3_mul(z1)
+    z3 = ra.add(t1, t2)
+    t1 = ra.sub(t1, t2)
+    ty = ra.b3_mul(t4)
+    x3 = ra.sub(ra.mul(t3, t1), ra.mul(t5, ty))
+    y3 = ra.add(ra.mul(t1, z3), ra.mul(ty, t0))
+    z3 = ra.add(ra.mul(z3, t5), ra.mul(t0, t3))
+    q_inf = jnp.logical_and(ra.is_zero(x2), ra.is_zero(y2))
+    return [
+        ra.select(q_inf, p[0], x3),
+        ra.select(q_inf, p[1], y3),
+        ra.select(q_inf, p[2], z3),
+    ]
+
+
+def rcb_double(ra, p):
+    """Doubling (Alg 9, a=0)."""
+    x, y, z = p
+    t0 = ra.sqr(y)
+    z3 = ra.add(t0, t0)
+    z3 = ra.add(z3, z3)
+    z3 = ra.add(z3, z3)
+    t1 = ra.mul(y, z)
+    t2 = ra.b3_mul(ra.sqr(z))
+    x3 = ra.mul(t2, z3)
+    y3 = ra.add(t0, t2)
+    z3 = ra.mul(t1, z3)
+    t1 = ra.add(t2, t2)
+    t2 = ra.add(t1, t2)
+    t0 = ra.sub(t0, t2)
+    y3 = ra.add(ra.mul(t0, y3), x3)
+    t1 = ra.mul(x, y)
+    x3 = ra.mul(t0, t1)
+    x3 = ra.add(x3, x3)
+    return [x3, y3, z3]
+
+
+# --------------------------------------------------------------------------
+# Kernel plumbing: (16*C*coords, 8, W) VMEM blocks <-> row lists
+# --------------------------------------------------------------------------
+
+
+def _flatten_elem(x):
+    """(16, C, [coords,] N) u32 -> (16*C*coords, 8, N/8) block-friendly."""
+    shape = x.shape
+    n = shape[-1]
+    lead = int(np.prod(shape[:-1]))
+    return x.reshape(lead, 8, n // 8)
+
+
+def _pad_lanes(x, block_lanes: int):
+    """Pads the trailing lane axis of (16, C..., N) to a block multiple."""
+    n = x.shape[-1]
+    target = -(-n // block_lanes) * block_lanes
+    if target == n:
+        return x, n
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, target - n)]
+    return jnp.pad(x, pad), n
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _run_elem_kernel(a_flat, b_flat, kernel_name: str, n_out_rows: int):
+    """Shared runner for 2-operand elementwise kernels over row blocks."""
+    kern, specs = _KERNELS[kernel_name]
+    rows_a = a_flat.shape[0]
+    rows_b = b_flat.shape[0]
+    w = a_flat.shape[2]
+    lane_w = _lane_w(kernel_name)
+    grid = (w // lane_w,)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_out_rows, 8, w), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows_a, 8, lane_w), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_b, 8, lane_w), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_out_rows, 8, lane_w), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=_FORCE_INTERPRET,
+    )(a_flat, b_flat)
+
+
+def _make_mul_kernel(row_field: RowField):
+    def kernel(a_ref, b_ref, out_ref):
+        a = [a_ref[i] for i in range(L)]
+        b = [b_ref[i] for i in range(L)]
+        out = row_field.mul(a, b)
+        for i in range(L):
+            out_ref[i] = out[i]
+
+    return kernel
+
+
+def _make_ec_kernel(components: int, op: str):
+    ra = row_adapter_for(components)
+    C = components
+
+    def load_point(ref, coords, base=0):
+        pt = []
+        for c in range(coords):
+            elem = []
+            for comp in range(C):
+                elem.append([ref[base + (c * C + comp) * L + i] for i in range(L)])
+            pt.append(elem)
+        return pt
+
+    def store_point(ref, pt):
+        for c, elem in enumerate(pt):
+            for comp in range(C):
+                for i in range(L):
+                    ref[(c * C + comp) * L + i] = elem[comp][i]
+
+    if op == "add":
+
+        def kernel(p_ref, q_ref, out_ref):
+            p = load_point(p_ref, 3)
+            q = load_point(q_ref, 3)
+            store_point(out_ref, rcb_add(ra, p, q))
+
+    elif op == "add_mixed":
+
+        def kernel(p_ref, q_ref, out_ref):
+            p = load_point(p_ref, 3)
+            q = load_point(q_ref, 2)
+            store_point(out_ref, rcb_add_mixed(ra, p, q))
+
+    elif op == "double":
+
+        def kernel(p_ref, q_ref, out_ref):  # q_ref unused (dummy)
+            p = load_point(p_ref, 3)
+            store_point(out_ref, rcb_double(ra, p))
+
+    else:
+        raise ValueError(op)
+
+    return kernel
+
+
+_KERNELS = {
+    "fr_mul": (_make_mul_kernel(ROW_FR), None),
+    "fq_mul": (_make_mul_kernel(ROW_FQ), None),
+    "g1_add": (_make_ec_kernel(1, "add"), None),
+    "g1_add_mixed": (_make_ec_kernel(1, "add_mixed"), None),
+    "g1_double": (_make_ec_kernel(1, "double"), None),
+    "g2_add": (_make_ec_kernel(2, "add"), None),
+    "g2_add_mixed": (_make_ec_kernel(2, "add_mixed"), None),
+    "g2_double": (_make_ec_kernel(2, "double"), None),
+}
+
+
+# --------------------------------------------------------------------------
+# Public wrappers (shapes follow the package conventions)
+# --------------------------------------------------------------------------
+
+
+def available() -> bool:
+    """Pallas TPU kernels need a TPU (or forced interpret mode)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon") or _FORCE_INTERPRET
+    except Exception:
+        return False
+
+
+_FORCE_INTERPRET = False  # set True in tests to run kernels interpreted
+
+
+def mont_mul(spec_name: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise Montgomery multiply on (16, *batch) u32 arrays."""
+    shape = a.shape
+    a2 = a.reshape(L, -1)
+    b2 = b.reshape(L, -1)
+    blk = _block_lanes(f"{spec_name}_mul")
+    a2, n = _pad_lanes(a2, blk)
+    b2, _ = _pad_lanes(b2, blk)
+    out = _run_elem_kernel(
+        _flatten_elem(a2), _flatten_elem(b2), f"{spec_name}_mul", L
+    )
+    return out.reshape(L, -1)[:, :n].reshape(shape)
+
+
+def ec_op(op: str, components: int, p: jnp.ndarray, q: jnp.ndarray = None) -> jnp.ndarray:
+    """EC kernel on (16, C, coords, *batch) u32 arrays.
+
+    op in {add, add_mixed, double}; q is (16, C, 3/2, *batch) or None.
+    Output (16, C, 3, *batch). The (16, C, coords) leading axes move into the
+    block's row axis as coord-major/component-minor 16-row groups.
+    """
+    g = "g1" if components == 1 else "g2"
+    shape = p.shape
+    batch = shape[3:]
+    n = int(np.prod(batch)) if batch else 1
+    # (16, C, coords, N) -> (coords, C, 16, N) -> rows
+    def to_rows(x, coords):
+        x2 = x.reshape(L, components, coords, n)
+        x2 = jnp.moveaxis(x2, (2, 1, 0), (0, 1, 2))  # (coords, C, 16, N)
+        return x2.reshape(coords * components * L, n)
+
+    p_rows = to_rows(p, 3)
+    if op == "double":
+        q_rows = p_rows[:1]  # dummy operand
+    else:
+        q_rows = to_rows(q, 3 if op == "add" else 2)
+    blk = _block_lanes(f"{g}_{op}")
+    p_rows, n_real = _pad_lanes(p_rows, blk)
+    q_rows, _ = _pad_lanes(q_rows, blk)
+    out = _run_elem_kernel(
+        _flatten_elem(p_rows), _flatten_elem(q_rows), f"{g}_{op}", 3 * components * L
+    )
+    out = out.reshape(3 * components * L, -1)[:, :n_real]
+    out = out.reshape(3, components, L, n)
+    out = jnp.moveaxis(out, (0, 1, 2), (2, 1, 0))  # (16, C, 3, N)
+    return out.reshape((L, components, 3) + batch)

@@ -11,15 +11,19 @@ depth (a sequential bucket-scatter loop is pathological on TPU):
   * Fixed-base window tables: T[w][i] = 2^(8w) * P_i precomputed once on
     device (8-bit windows, 32 windows, ~24 MB per G1 query set). Removes all
     doublings from the MSM itself, so window sums combine with a plain tree.
-  * Per window: digits sorted per batch lane (jnp.argsort), points gathered
-    in sorted order, and bucket sums computed with ONE segmented
-    jax.lax.associative_scan whose combiner is the branchless Jacobian add —
-    work-efficient (~2n point adds) and only ~2 log n wide steps deep.
-  * Segment-end elements scatter into the 256 buckets; the weighted sum
-    sum_j j*B_j is a reverse associative_scan (suffix sums) plus a tree
-    reduction. Digit 0 lands in an ignored bucket, so zero scalars and
-    masked-out points (partial proofs) are free and branchless.
-  * Windows are processed in small groups to bound the gathered-points
+  * Per window: digits sorted per batch lane (jnp.argsort) and points
+    gathered in sorted order, so "all points with digit <= d" is a prefix.
+  * EC points form a GROUP (subtraction = add with negated Y), so bucket
+    sums never need a segmented scan: with Q_d = prefix sum of the first
+    C(d) sorted points (C(d) = #digits <= d), the window result telescopes:
+        sum_{d=1..255} d * B_d  =  255 * S_total - sum_{d=0..254} Q_d.
+    The 255 prefix values come from a Fenwick-style query over an up-sweep
+    reduction tree: n-1 adds build the tree (levels kept), then each Q_d is
+    <= log2(n) masked adds over width-255 lanes. Total EC work per window is
+    ~n + 14*255 adds — work-optimal, no log(n) blowup on the wide axis.
+  * Digit 0 contributes to every Q_d equally and cancels in the telescope,
+    so zero scalars and masked-out points (partial proofs) are free.
+  * Windows are processed in groups sized to bound the reduction-tree
     footprint; group results combine by tree.
 
 Multi-chip: points shard over the mesh's "tp" axis; per-shard accumulators
@@ -37,50 +41,37 @@ import numpy as np
 
 from ..ff.field import FQ, NUM_LIMBS, U32
 from ..ff.fq2 import Fq2Adapter, FqAdapter
-from .curve import CurveOps
+from .curve import CurveOps, best_curve_ops
 
 C_BITS = 8
 N_BUCKETS = 1 << C_BITS
 N_WINDOWS = 32  # 256 bits / 8
-WINDOW_GROUP = 2  # windows processed per sorted-scan pass
+# Window-group size: bounds the reduction-tree footprint. The up-sweep keeps
+# ~2x the base level resident: 384 * C * G * n * B bytes; cap C*G*B so the
+# peak stays a few GB at n = 8192.
+MAX_CGB = 1024
 
 
-def _one_mont(adapter, like):
-    """Field one as (16, C, 1...) broadcastable against (16, C, *batch)."""
-    one = np.zeros((NUM_LIMBS, adapter.components) + (1,) * (like.ndim - 2), dtype=np.uint32)
-    idx = (slice(None), 0) + (0,) * (like.ndim - 2)
-    one[idx] = FQ.one_mont
-    return jnp.asarray(one)
-
-
-def _tree_sum(cv: CurveOps, arr: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """EC tree reduction along `axis` of a (16, C, 3, ...) Jacobian array."""
-    size = arr.shape[axis]
-    while size > 1:
-        half = size // 2
-        left = jax.lax.slice_in_dim(arr, 0, half, axis=axis)
-        right = jax.lax.slice_in_dim(arr, half, 2 * half, axis=axis)
-        combined = cv.add(left, right)
-        if size % 2:
-            tail = jax.lax.slice_in_dim(arr, 2 * half, size, axis=axis)
-            combined = jnp.concatenate([combined, tail], axis=axis)
-        arr = combined
-        size = arr.shape[axis]
-    return jnp.squeeze(arr, axis=axis)
+def _identity_np(adapter, shape):
+    """Projective identity (0, 1, 0) as a host array of the given shape
+    (16, C, 3, *batch); Y's component 0 is one in Montgomery form."""
+    out = np.zeros(shape, dtype=np.uint32)
+    one = FQ.one_mont.reshape((NUM_LIMBS,) + (1,) * (len(shape) - 3))
+    out[:, 0, 1] = np.broadcast_to(one, (NUM_LIMBS,) + shape[3:])
+    return out
 
 
 def precompute_window_tables(adapter, points_aff: jnp.ndarray) -> jnp.ndarray:
     """points_aff: (16, C, 2, n) affine -> tables (16, C, 2, W, n) affine
     with tables[..., w, i] = 2^(8w) * P_i."""
-    cv = CurveOps(adapter)
-    one = _one_mont(adapter, points_aff[:, :, 0])
-    jac = cv.jac_from_affine(points_aff, one)  # (16, C, 3, n)
+    cv = best_curve_ops(adapter)
+    proj = cv.from_affine(points_aff)  # (16, C, 3, n)
 
     def step(carry, _):
         nxt = jax.lax.fori_loop(0, C_BITS, lambda _, a: cv.double(a), carry)
         return nxt, carry
 
-    _, stacked = jax.lax.scan(step, jac, None, length=N_WINDOWS)  # (W, 16, C, 3, n)
+    _, stacked = jax.lax.scan(step, proj, None, length=N_WINDOWS)  # (W, 16, C, 3, n)
     stacked = jnp.moveaxis(stacked, 0, 3)  # (16, C, 3, W, n)
     return cv.to_affine(stacked)  # (16, C, 2, W, n); infinity -> (0, 0)
 
@@ -95,65 +86,116 @@ def _digits_for_windows(scalars: jnp.ndarray, w0: int, count: int) -> jnp.ndarra
     return jnp.stack(rows, axis=0)
 
 
-def _stage_sort_gather(adapter, pts, digits):
-    """Sort digits per lane, gather points in sorted order, build Jacobians.
+def tables_to_aos(adapter, tables: jnp.ndarray) -> jnp.ndarray:
+    """(16, C, 2, W, n) SoA tables -> (W*n, 16*C*2) AoS point rows.
 
-    pts: (16,C,2,G,n); digits: (G,n,B) -> (jac (16,C,3,G,n,B),
-    sorted_digits (G,n,B)). No EC arithmetic — compiles fast.
+    TPU gathers cost ~per indexed slice, so gathering 128-byte CONTIGUOUS
+    point rows along the leading axis is ~40x faster than a strided
+    take_along_axis over the SoA layout. Row word order is limb-major
+    (limb, comp, coord) so the transpose back to SoA is a pure reshape.
     """
-    cv = CurveOps(adapter)
-    batch = digits.shape[2]
-    one = _one_mont(adapter, jnp.zeros((NUM_LIMBS, adapter.components, batch), dtype=U32))
-    order = jnp.argsort(digits, axis=1)
-    sorted_digits = jnp.take_along_axis(digits, order, axis=1)
-    pts_b = jnp.broadcast_to(pts[..., None], pts.shape + (batch,))
-    idx_b = jnp.broadcast_to(
-        order[None, None, None, :, :, :].astype(jnp.int32), pts_b.shape
-    )
-    gathered = jnp.take_along_axis(pts_b, idx_b, axis=4)
-    jac = cv.jac_from_affine(gathered, one[:, :, None, None, :])
-    return jac, sorted_digits
+    w, n = tables.shape[3], tables.shape[4]
+    t = jnp.transpose(tables, (3, 4, 0, 1, 2))  # (W, n, 16, C, 2)
+    return t.reshape(w * n, NUM_LIMBS * adapter.components * 2)
 
 
-def _hs_masked_combine(cv, val, shifted_val, keep_old_mask):
-    """One Hillis-Steele level: combine shifted into val except where masked."""
-    merged = cv.add(shifted_val, val)
-    return jnp.where(keep_old_mask, val, merged)
+def _stage_sort_gather(adapter, tables_aos, digits, n, pad_to):
+    """Sort digits per lane and gather points in sorted order (kept AFFINE —
+    the base tree level enters through mixed addition).
 
-
-def _stage_segmented_scan(adapter, jac, sorted_digits):
-    """Segmented inclusive scan of sorted Jacobians along the n axis.
-
-    Hillis-Steele formulation: log2(n) identical levels, each a dynamic
-    jnp.roll + one branchless EC add + selects, under a fori_loop — the whole
-    scan is ONE small compiled program (the remote TPU compiler scales badly
-    with module size, so per-level program reuse beats work-efficient
-    scan shapes whose every level is a distinct large computation).
+    tables_aos: (G*n, K) AoS point rows; digits: (G,n,B) ->
+    (16,C,2,G,pad_to,B) SoA. The gather moves contiguous 128-byte rows; one
+    transpose converts back to the SoA kernel layout. The tail [n:pad_to] is
+    padded with the (0, 0) infinity sentinel so the up-sweep tree is a
+    perfect binary tree.
     """
-    cv = CurveOps(adapter)
-    n = jac.shape[4]
-    log_n = max(1, (n - 1).bit_length())
-    prev = jnp.concatenate(
-        [jnp.full_like(sorted_digits[:, :1], 0xFFFFFFFF), sorted_digits[:, :-1]],
-        axis=1,
-    )
-    flags = (sorted_digits != prev).astype(U32)[None, None, None]  # (1,1,1,G,n,B)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, n, 1), 4)
+    gw, _, batch = digits.shape
+    order = jnp.argsort(digits, axis=1)  # (G, n, B)
+    base = (jnp.arange(gw, dtype=jnp.int32) * n)[:, None, None]
+    flat = (base + order.astype(jnp.int32)).reshape(-1)
+    rows = jnp.take(tables_aos, flat, axis=0)  # (G*n*B, K) contiguous rows
+    soa = rows.T.reshape(NUM_LIMBS, adapter.components, 2, gw, n, batch)
+    if pad_to > n:
+        pad_shape = soa.shape[:4] + (pad_to - n,) + soa.shape[5:]
+        soa = jnp.concatenate([soa, jnp.zeros(pad_shape, dtype=U32)], axis=4)
+    return soa
 
-    def level(k, carry):
-        val, flg = carry
-        shift = jnp.int32(1) << k
-        sval = jnp.roll(val, shift, axis=4)
-        sflg = jnp.roll(flg, shift, axis=4)
-        in_range = pos >= shift  # positions with a valid left neighbor
-        # segmented HS: if own flag set (segment start seen), keep; else merge
-        keep_old = jnp.logical_or(flg != 0, jnp.logical_not(in_range))
-        val = _hs_masked_combine(cv, val, sval, keep_old)
-        flg = jnp.where(in_range, flg | sflg, flg)
-        return val, flg
 
-    scanned, _ = jax.lax.fori_loop(0, log_n, level, (jac, flags))
-    return scanned
+def _stage_counts(digits):
+    """digits (G,n,B) -> counts (G,255,B) int32 with counts[d] = #(digit <= d).
+
+    Integer-only histogram + cumsum; order-independent so the unsorted digits
+    work as well as the sorted ones.
+    """
+    gw, n, batch = digits.shape
+    d32 = digits.astype(jnp.int32)
+    g_idx = jnp.broadcast_to(jnp.arange(gw, dtype=jnp.int32)[:, None, None], d32.shape)
+    b_idx = jnp.broadcast_to(jnp.arange(batch, dtype=jnp.int32)[None, None, :], d32.shape)
+    hist = jnp.zeros((gw, N_BUCKETS, batch), dtype=jnp.int32)
+    hist = hist.at[g_idx, d32, b_idx].add(1)
+    return jnp.cumsum(hist, axis=1)[:, : N_BUCKETS - 1]
+
+
+def _stage_upsweep0(adapter, aff):
+    """First reduction-tree level from the sorted AFFINE base: promote the
+    even elements to projective and mixed-add the odd ones.
+    (16,C,2,G,m,B) -> (16,C,3,G,m/2,B)."""
+    cv = best_curve_ops(adapter)
+    return cv.add_mixed(cv.from_affine(aff[:, :, :, :, 0::2]), aff[:, :, :, :, 1::2])
+
+
+def _stage_upsweep(adapter, arr):
+    """One reduction-tree level: combine adjacent pairs along the n axis.
+    (16,C,3,G,m,B) -> (16,C,3,G,m/2,B)."""
+    cv = best_curve_ops(adapter)
+    return cv.add(arr[:, :, :, :, 0::2], arr[:, :, :, :, 1::2])
+
+
+def _stage_downsweep(adapter, x_parent, level_even):
+    """One Blelloch down-sweep level: exclusive block prefixes at granularity
+    2^k -> granularity 2^(k-1).
+
+    x_parent: (16,C,3,G,m,B); level_even: sums of the LEFT children (the even
+    entries of the 2^(k-1) up-sweep level) — projective (coords 3) or the
+    affine base (coords 2, entering through mixed addition). Left children
+    inherit the parent prefix; right children add the left-child sum.
+    """
+    cv = best_curve_ops(adapter)
+    if level_even.shape[2] == 2:
+        right = cv.add_mixed(x_parent, level_even)
+    else:
+        right = cv.add(x_parent, level_even)
+    both = jnp.stack([x_parent, right], axis=5)  # (...,m,2,B)
+    s = both.shape
+    return both.reshape(s[:4] + (s[4] * 2,) + s[6:])
+
+
+def _stage_qsum(adapter, x_base, s_total, counts, n_real):
+    """Gathers Q_d = (exclusive prefix at C(d)) for d = 0..254.
+
+    x_base: (16,C,3,G,n,B) exclusive prefixes over the sorted base;
+    s_total: (16,C,3,G,1,B) full sums; counts: (G,255,B) with C(d) <= n_real.
+    Returns the Q_d values (16,C,3,G,255,B); C(d) = n_real selects S_total.
+    """
+    n = x_base.shape[4]
+    idx = jnp.minimum(counts, n - 1).astype(jnp.int32)
+    shape = x_base.shape[:4] + idx.shape[1:]
+    idx_b = jnp.broadcast_to(idx[None, None, None], shape)
+    gathered = jnp.take_along_axis(x_base, idx_b, axis=4)  # (16,C,3,G,255,B)
+    full = (counts >= n_real)[None, None, None]
+    q = jnp.where(full, jnp.broadcast_to(s_total, gathered.shape), gathered)
+    return q
+
+
+def _stage_window_finish(adapter, sum_q, s_total):
+    """Window result from the telescoped bucket identity:
+    sum_{d=1..255} d*B_d = 255*S_total - sum_{d=0..254} Q_d."""
+    cv = best_curve_ops(adapter)
+    t = s_total
+    for _ in range(8):
+        t = cv.double(t)  # 256 * S
+    t = cv.add(t, cv.neg(s_total))  # 255 * S
+    return cv.add(t, cv.neg(sum_q))
 
 
 def _hs_plain_scan(cv, arr, axis: int):
@@ -168,75 +210,89 @@ def _hs_plain_scan(cv, arr, axis: int):
         shift = jnp.int32(1) << k
         sval = jnp.roll(val, shift, axis=axis)
         keep_old = pos < shift
-        return _hs_masked_combine(cv, val, sval, keep_old)
+        merged = cv.add(sval, val)
+        return jnp.where(keep_old, val, merged)
 
     return jax.lax.fori_loop(0, log_n, level, arr)
 
 
-def _stage_bucket_reduce(adapter, scanned, sorted_digits):
-    """Extract segment-end bucket sums and compute S = sum_j j*B_j."""
-    cv = CurveOps(adapter)
-    gw, n, batch = sorted_digits.shape
-    nxt = jnp.concatenate(
-        [sorted_digits[:, 1:], jnp.full_like(sorted_digits[:, :1], 0xFFFFFFFF)],
-        axis=1,
-    )
-    is_end = sorted_digits != nxt
-    target = jnp.where(is_end, sorted_digits, N_BUCKETS).astype(jnp.int32)
-    g_idx = jnp.broadcast_to(jnp.arange(gw, dtype=jnp.int32)[:, None, None], target.shape)
-    b_idx = jnp.broadcast_to(
-        jnp.arange(batch, dtype=jnp.int32)[None, None, :], target.shape
-    )
-    buckets = jnp.zeros(
-        (NUM_LIMBS, adapter.components, 3, gw, N_BUCKETS + 1, batch), dtype=U32
-    )
-    buckets = buckets.at[:, :, :, g_idx, target, b_idx].set(scanned)
-    buckets = buckets[:, :, :, :, 1:N_BUCKETS]  # drop bucket 0 and the dummy
-    # suffix sums = flip . prefix-scan . flip; S = last prefix of the suffixes
-    suffix = jnp.flip(_hs_plain_scan(cv, jnp.flip(buckets, axis=4), 4), axis=4)
-    totals = _hs_plain_scan(cv, suffix, 4)
-    return totals[:, :, :, :, -1]  # (16, C, 3, G, B)
-
-
 @functools.lru_cache(maxsize=None)
 def _stage_fns(adapter):
-    return (
-        jax.jit(functools.partial(_stage_sort_gather, adapter)),
-        jax.jit(functools.partial(_stage_segmented_scan, adapter)),
-        jax.jit(functools.partial(_stage_bucket_reduce, adapter)),
-        jax.jit(
+    return {
+        "sort": jax.jit(
+            functools.partial(_stage_sort_gather, adapter), static_argnums=(2, 3)
+        ),
+        "counts": jax.jit(_stage_counts),
+        "upsweep0": jax.jit(functools.partial(_stage_upsweep0, adapter)),
+        "upsweep": jax.jit(functools.partial(_stage_upsweep, adapter)),
+        "downsweep": jax.jit(functools.partial(_stage_downsweep, adapter)),
+        "qsum": jax.jit(functools.partial(_stage_qsum, adapter), static_argnums=3),
+        "finish": jax.jit(functools.partial(_stage_window_finish, adapter)),
+        "final": jax.jit(
             functools.partial(
-                lambda ad, arr: _hs_plain_scan(CurveOps(ad), arr, 3)[:, :, :, -1],
+                lambda ad, arr: _hs_plain_scan(best_curve_ops(ad), arr, 3)[:, :, :, -1],
                 adapter,
             )
         ),
-    )
+    }
 
 
-def msm_from_tables(adapter, tables: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
-    """tables: (16, C, 2, W, n); scalars: (16, n, B) canonical limbs.
-    Returns Jacobian accumulators (16, C, 3, B).
+def _window_group(batch: int, components: int) -> int:
+    g = 32
+    while g > 2 and g * batch * components > MAX_CGB:
+        g //= 2
+    return g
+
+
+def msm_from_tables(
+    adapter, tables_aos: jnp.ndarray, scalars: jnp.ndarray, n: int
+) -> jnp.ndarray:
+    """tables_aos: (W*n, 16*C*2) AoS rows (tables_to_aos); scalars:
+    (16, n, B) canonical limbs. Returns projective accumulators (16, C, 3, B).
 
     Orchestrated as separately-jitted stages per window group: each stage
     program is small (the remote TPU compiler scales badly with module size)
-    and reused across groups, MSMs, and query sets of the same shape.
+    and reused across groups, MSMs, and query sets of the same shape. The
+    up/down-sweep stages recompile per tree level, but each program holds a
+    single EC add (a Pallas kernel on TPU).
     """
-    n = tables.shape[4]
     batch = scalars.shape[2]
-    sort_fn, scan_fn, reduce_fn, final_fn = _stage_fns(adapter)
+    fns = _stage_fns(adapter)
+    n_pad = 1 << max(1, (n - 1).bit_length())
 
-    assert N_WINDOWS % WINDOW_GROUP == 0
-    n_groups = N_WINDOWS // WINDOW_GROUP
+    group = _window_group(batch, adapter.components)
+    assert N_WINDOWS % group == 0
+    n_groups = N_WINDOWS // group
     all_digits = _digits_for_windows(scalars, 0, N_WINDOWS)  # (W, n, B)
-    digits_g = all_digits.reshape(n_groups, WINDOW_GROUP, n, batch)
-    tables_g = tables.reshape(NUM_LIMBS, adapter.components, 2, n_groups, WINDOW_GROUP, n)
+    digits_g = all_digits.reshape(n_groups, group, n, batch)
+    tables_g = tables_aos.reshape(n_groups, group * n, tables_aos.shape[1])
     sums = []
     for g in range(n_groups):
-        jac, sd = sort_fn(tables_g[:, :, :, g], digits_g[g])
-        scanned = scan_fn(jac, sd)
-        sums.append(reduce_fn(scanned, sd))
+        # levels[0] is the sorted AFFINE base; levels[k>=1] are projective
+        # sums of blocks of 2^k sorted points
+        levels = [fns["sort"](tables_g[g], digits_g[g], n, n_pad)]
+        counts = fns["counts"](digits_g[g])
+        if levels[0].shape[4] > 1:
+            levels.append(fns["upsweep0"](levels[0]))
+        while levels[-1].shape[4] > 1:
+            levels.append(fns["upsweep"](levels[-1]))
+        # Blelloch down-sweep: exclusive prefixes at every base position
+        x = jnp.asarray(
+            _identity_np(
+                adapter, (NUM_LIMBS, adapter.components, 3, group, 1, batch)
+            )
+        )
+        for level in levels[-2::-1]:
+            x = fns["downsweep"](x, level[:, :, :, :, 0::2])
+        q = fns["qsum"](x, levels[-1], counts, n)
+        # tree-reduce the 255 queries (pad to 256 with the identity)
+        pad = jnp.asarray(_identity_np(adapter, q[:, :, :, :, :1].shape))
+        acc = jnp.concatenate([q, pad], axis=4)
+        while acc.shape[4] > 1:
+            acc = fns["upsweep"](acc)
+        sums.append(fns["finish"](acc[:, :, :, :, 0], levels[-1][:, :, :, :, 0]))
     all_windows = jnp.concatenate(sums, axis=3)  # (16, C, 3, W, B)
-    return final_fn(all_windows)
+    return fns["final"](all_windows)
 
 
 def msm_accumulate(adapter, points, scalars):
@@ -244,7 +300,9 @@ def msm_accumulate(adapter, points, scalars):
     sharded path. For repeated MSMs over the same bases use the MSM class,
     which caches the window tables."""
     tables = precompute_window_tables(adapter, points)
-    return msm_from_tables(adapter, tables, scalars)
+    return msm_from_tables(
+        adapter, tables_to_aos(adapter, tables), scalars, tables.shape[4]
+    )
 
 
 PAD_GRANULARITY = 4096  # base sets pad up so equal-size MSMs share a compile
@@ -295,8 +353,13 @@ class MSM:
         self._finish_fn = jax.jit(self.curve.to_affine)
 
     def tables(self) -> jnp.ndarray:
+        """AoS window-table rows (W*n, 16*C*2) — the gather-friendly layout."""
         if self._tables is None:
-            build = jax.jit(functools.partial(precompute_window_tables, self.adapter))
+            build = jax.jit(
+                lambda pts: tables_to_aos(
+                    self.adapter, precompute_window_tables(self.adapter, pts)
+                )
+            )
             self._tables = build(self.points)
         return self._tables
 
@@ -305,7 +368,7 @@ class MSM:
     ) -> jnp.ndarray:
         """scalars_canon: (16, n_real, B) canonical limbs. mask: optional
         (n_real, B) bool — points with False contribute nothing (partial-proof
-        splits). Returns Jacobian accumulators (16, C, 3, B)."""
+        splits). Returns projective accumulators (16, C, 3, B)."""
         if scalars_canon.shape[1] != self.n_real:
             raise ValueError(
                 f"expected {self.n_real} scalars, got {scalars_canon.shape[1]}"
@@ -318,10 +381,10 @@ class MSM:
                 (NUM_LIMBS, self.n - self.n_real, scalars.shape[2]), dtype=U32
             )
             scalars = jnp.concatenate([scalars, pad], axis=1)
-        return self._msm_fn(self.tables(), scalars)
+        return self._msm_fn(self.tables(), scalars, self.n)
 
     def to_affine_ints(self, acc):
-        """Jacobian accumulators -> list of host affine points (None = inf)."""
+        """Projective accumulators -> list of host affine points (None = inf)."""
         aff = np.asarray(self._finish_fn(acc))
         batch = aff.shape[3]
         out = []

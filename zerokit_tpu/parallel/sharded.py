@@ -7,7 +7,7 @@ SURVEY.md §2d); this layer is designed TPU-first:
     MSM points / NTT domain).
   * MSM: points and scalars shard over "tp"; each device runs the windowed
     bucket accumulation on its shard (groth16/msm.py msm_accumulate), and
-    the D partial Jacobian accumulators are combined with an all_gather over
+    the D partial projective accumulators are combined with an all_gather over
     "tp" followed by a local log-depth tree of EC adds. EC addition is not a
     ring sum, so psum does not apply; the gather moves only (16*C*3*B) words.
   * batch (dp) sharding is communication-free: witness evaluation, the QAP
@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ff.fq2 import Fq2Adapter, FqAdapter
 from ..groth16.msm import msm_accumulate
-from ..groth16.curve import CurveOps
+from ..groth16.curve import CurveOps, best_curve_ops
 
 
 def make_mesh(tp: int = 1, dp: Optional[int] = None, devices=None) -> Mesh:
@@ -45,7 +45,7 @@ def make_mesh(tp: int = 1, dp: Optional[int] = None, devices=None) -> Mesh:
 
 
 def _tree_reduce_points(cv: CurveOps, gathered):
-    """gathered: (D, 16, C, 3, B) Jacobian partials -> (16, C, 3, B)."""
+    """gathered: (D, 16, C, 3, B) projective partials -> (16, C, 3, B)."""
     arr = jnp.moveaxis(gathered, 0, -1)  # (16, C, 3, B, D) — D as a batch dim
     d = arr.shape[-1]
     while d > 1:
@@ -67,11 +67,11 @@ def sharded_msm(
 ):
     """Tensor-parallel MSM: points (16,C,2,n) and scalars (16,n,B) shard on n.
 
-    Returns replicated Jacobian accumulators (16, C, 3, B). n must divide
+    Returns replicated projective accumulators (16, C, 3, B). n must divide
     evenly by the axis size (pad with infinity points / zero scalars upstream
     if needed).
     """
-    cv = CurveOps(adapter)
+    cv = best_curve_ops(adapter)
 
     def local(points_shard, scalars_shard):
         acc = msm_accumulate(adapter, points_shard, scalars_shard)

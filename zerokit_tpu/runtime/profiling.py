@@ -25,7 +25,8 @@ import jax
 
 # Rough per-op costs of the current kernels (u32 multiplies per operation)
 MONT_MUL_U32_MULTS = 650
-EC_ADD_MONT_MULS = 16
+# complete projective add (RCB15 Alg 7): 12M + cheap b3 muls
+EC_ADD_MONT_MULS = 12
 POSEIDON_T3_MONT_MULS = 18 * 65
 
 
@@ -87,10 +88,12 @@ def trace(log_dir: str = "/tmp/zerokit_tpu_trace"):
         jax.profiler.stop_trace()
 
 
-def msm_mont_muls(n_points: int, n_windows: int = 32, hs_levels: int = 13) -> int:
-    """Montgomery multiplies per proof for one G1 MSM under the current
-    Hillis-Steele formulation (n log n adds per window group)."""
-    return n_windows * n_points * hs_levels * EC_ADD_MONT_MULS
+def msm_mont_muls(n_points: int, n_windows: int = 32) -> int:
+    """Montgomery multiplies per proof for one G1 MSM under the up-sweep +
+    Fenwick-query formulation: per window ~n tree adds + 14*255 masked
+    prefix-query adds + 255 reduce adds + 8 doublings."""
+    per_window = n_points + 14 * 255 + 2 * 255 + 8
+    return n_windows * per_window * EC_ADD_MONT_MULS
 
 
 def proof_cost_mont_muls(
