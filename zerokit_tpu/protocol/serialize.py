@@ -344,10 +344,19 @@ def bytes_to_rln_partial_proof(data: bytes):
 
 # ---------------------------------------------------------------------------
 # V3 enum codecs (reference serialize.rs): 1-byte enum tag + struct body.
-# Single witness body: secret, limit, message_id, path, index, x, ext.
-# Multi witness body: secret, limit, path, index, x, ext, message_ids, sels.
+#
+# The two endiannesses are DIFFERENT codecs in the reference, not one layout
+# with flipped byte order:
+#   * LE follows the arkworks CanonicalSerialize derive, i.e. struct field
+#     order. Single: secret, limit, path, index, x, ext, message_id (LAST) —
+#     rln/src/protocol/witness.rs:1288-1296 field order.
+#   * BE is hand-written (serialize.rs:352-366): Single puts message_id THIRD
+#     (secret, limit, message_id, path, index, x, ext).
+# Multi witness body is the same both ways: secret, limit, path, index, x,
+# ext, message_ids, selector_used.
 # Proof values Single body: y, root, nullifier, x, ext.
 # Proof values Multi body: ys, root, nullifiers, x, ext, selector_used.
+# V3 bools are strictly 0/1 (serialize.rs:236-244).
 # ---------------------------------------------------------------------------
 
 
@@ -355,11 +364,14 @@ def witness_v3_to_bytes(w: RLNWitnessInput, be: bool = False) -> bytes:
     tag = bytes([0 if w.is_single else 1])
     out = tag + fr_to_bytes(w.identity_secret, be) + fr_to_bytes(w.user_message_limit, be)
     if w.is_single:
-        out += fr_to_bytes(w.message_id, be)
+        if be:
+            out += fr_to_bytes(w.message_id, be)
         out += vec_fr_to_bytes(w.path_elements, be)
         out += vec_u8_to_bytes(w.identity_path_index, be)
         out += fr_to_bytes(w.x, be)
         out += fr_to_bytes(w.external_nullifier, be)
+        if not be:
+            out += fr_to_bytes(w.message_id, be)
     else:
         out += vec_fr_to_bytes(w.path_elements, be)
         out += vec_u8_to_bytes(w.identity_path_index, be)
@@ -371,8 +383,77 @@ def witness_v3_to_bytes(w: RLNWitnessInput, be: bool = False) -> bytes:
 
 
 def bytes_to_witness_v3(data: bytes, be: bool = False) -> RLNWitnessInput:
-    w, _ = bytes_to_rln_witness(data, be)  # identical layout; strict bools in V3
-    return w
+    if not data:
+        raise errors.InvalidReadLen(1, 0)
+    tag = data[0]
+    if tag not in (0, 1):
+        raise errors.SerializationError(f"invalid enum tag {tag}")
+    read = 1
+    secret, sz = bytes_to_fr(data[read:], be)
+    read += sz
+    limit, sz = bytes_to_fr(data[read:], be)
+    read += sz
+    if tag == 0:
+        message_id = None
+        if be:
+            message_id, sz = bytes_to_fr(data[read:], be)
+            read += sz
+        path, sz = bytes_to_vec_fr(data[read:], be)
+        read += sz
+        idx, sz = bytes_to_vec_u8(data[read:], be)
+        read += sz
+        x, sz = bytes_to_fr(data[read:], be)
+        read += sz
+        ext, sz = bytes_to_fr(data[read:], be)
+        read += sz
+        if not be:
+            message_id, sz = bytes_to_fr(data[read:], be)
+            read += sz
+        _check_fully_read(read, len(data))
+        return RLNWitnessInput.new_single(secret, limit, message_id, path, idx, x, ext)
+    path, sz = bytes_to_vec_fr(data[read:], be)
+    read += sz
+    idx, sz = bytes_to_vec_u8(data[read:], be)
+    read += sz
+    x, sz = bytes_to_fr(data[read:], be)
+    read += sz
+    ext, sz = bytes_to_fr(data[read:], be)
+    read += sz
+    mids, sz = bytes_to_vec_fr(data[read:], be)
+    read += sz
+    sels, sz = bytes_to_vec_bool(data[read:], be, strict=True)
+    read += sz
+    if len(sels) != len(mids):
+        raise errors.FieldLengthMismatch(
+            f"message_ids has {len(mids)}, selector_used has {len(sels)}"
+        )
+    _check_fully_read(read, len(data))
+    return RLNWitnessInput.new_multi(secret, limit, mids, path, idx, x, ext, sels)
+
+
+def partial_witness_v3_to_bytes(w: RLNPartialWitnessInput, be: bool = False) -> bytes:
+    """RLNPartialWitnessInputV3 is a plain struct (no enum tag byte); LE derive
+    order and the hand-written BE order coincide (serialize.rs:449-487)."""
+    return (
+        fr_to_bytes(w.identity_secret, be)
+        + fr_to_bytes(w.user_message_limit, be)
+        + vec_fr_to_bytes(w.path_elements, be)
+        + vec_u8_to_bytes(w.identity_path_index, be)
+    )
+
+
+def bytes_to_partial_witness_v3(data: bytes, be: bool = False) -> RLNPartialWitnessInput:
+    read = 0
+    secret, sz = bytes_to_fr(data[read:], be)
+    read += sz
+    limit, sz = bytes_to_fr(data[read:], be)
+    read += sz
+    path, sz = bytes_to_vec_fr(data[read:], be)
+    read += sz
+    idx, sz = bytes_to_vec_u8(data[read:], be)
+    read += sz
+    _check_fully_read(read, len(data))
+    return RLNPartialWitnessInput.new(secret, limit, path, idx)
 
 
 def proof_values_v3_to_bytes(v: RLNProofValues, be: bool = False) -> bytes:
