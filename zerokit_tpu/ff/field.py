@@ -122,7 +122,7 @@ def decode_canonical_fast(limbs: np.ndarray) -> List[int]:
 # ---------------------------------------------------------------------------
 
 
-def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, n_cols: int = 2 * L) -> jnp.ndarray:
+def _mul_cols_rows(a: jnp.ndarray, b: jnp.ndarray, n_cols: int = 2 * L) -> jnp.ndarray:
     """Column accumulators of a*b: (n_cols, *batch), each < 2^21.
 
     Schoolbook columns as 16 unrolled shifted multiply-accumulates: for each
@@ -146,6 +146,47 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, n_cols: int = 2 * L) -> jnp.ndarra
             acc(i + j, lo[i])
             acc(i + j + 1, hi[i])
     return jnp.stack(rows[:n_cols], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _col_matrices():
+    """Static 0/1 anti-diagonal indicator matrices for the dot-form multiply:
+    cols = M_lo @ lo_products + M_hi @ hi_products, flattened over (i, j).
+    Held as host numpy (they become HLO constants at each trace site)."""
+    lo = np.zeros((2 * L, L * L), dtype=np.uint32)
+    hi = np.zeros((2 * L, L * L), dtype=np.uint32)
+    for i in range(L):
+        for j in range(L):
+            lo[i + j, i * L + j] = 1
+            hi[i + j + 1, i * L + j] = 1
+    return lo, hi
+
+
+def _mul_cols_dot(a: jnp.ndarray, b: jnp.ndarray, n_cols: int = 2 * L) -> jnp.ndarray:
+    """Column accumulators of a*b via two integer matmuls (~10 HLO ops).
+
+    Semantically identical to _mul_cols_rows but emits a tiny HLO graph:
+    the unrolled-row form costs ~500 ops per multiply, which makes XLA's CPU
+    backend take MINUTES to compile an EC-add program (measured ~90s+ for
+    one add; LLVM chokes on the 30K-op fused chains). On CPU this dot form
+    compiles in seconds and the 32x256 indicator matmuls vectorize well. The
+    TPU path keeps the row form: XLA fuses it into register-resident
+    elementwise code, while an int32 dot would not use the MXU anyway.
+    """
+    prod = a[:, None] * b[None, :]  # (16, 16, *batch), exact in u32
+    flat = prod.reshape((L * L,) + prod.shape[2:])
+    lo = flat & _MASK
+    hi = flat >> LIMB_BITS
+    m_lo, m_hi = _col_matrices()
+    cols = jnp.tensordot(m_lo, lo, axes=1) + jnp.tensordot(m_hi, hi, axes=1)
+    return cols[:n_cols]
+
+
+def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, n_cols: int = 2 * L) -> jnp.ndarray:
+    """Backend-dependent column formulation (see _mul_cols_dot docstring)."""
+    if jax.default_backend() == "cpu":
+        return _mul_cols_dot(a, b, n_cols)
+    return _mul_cols_rows(a, b, n_cols)
 
 
 def _kogge_stone_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:

@@ -5,29 +5,39 @@ and ark-groth16's internal MSMs). The workload shape is RLN-specific: every
 MSM in Groth16 proving uses a *fixed* base set (the zkey's a/b1/b2/h/l query
 points, circuit scale ~6-8K points) and a *batch* of per-proof scalar vectors.
 
-TPU-first formulation — wide data-parallel steps, logarithmic sequential
-depth (a sequential bucket-scatter loop is pathological on TPU):
+TPU-first formulation — wide data-parallel steps, small sequential depth:
 
   * Fixed-base window tables: T[w][i] = 2^(8w) * P_i precomputed once on
     device (8-bit windows, 32 windows, ~24 MB per G1 query set). Removes all
-    doublings from the MSM itself, so window sums combine with a plain tree.
+    doublings from the MSM itself.
   * Per window: digits sorted per batch lane (jnp.argsort) and points
     gathered in sorted order, so "all points with digit <= d" is a prefix.
   * EC points form a GROUP (subtraction = add with negated Y), so bucket
     sums never need a segmented scan: with Q_d = prefix sum of the first
     C(d) sorted points (C(d) = #digits <= d), the window result telescopes:
         sum_{d=1..255} d * B_d  =  255 * S_total - sum_{d=0..254} Q_d.
-    The 255 prefix values come from a Fenwick-style query over an up-sweep
-    reduction tree: n-1 adds build the tree (levels kept), then each Q_d is
-    <= log2(n) masked adds over width-255 lanes. Total EC work per window is
-    ~n + 14*255 adds — work-optimal, no log(n) blowup on the wide axis.
+  * The prefix sums come from a two-level scan: intra-block inclusive
+    prefixes over blocks of K=32 sorted points (K-1 wide mixed-adds),
+    exclusive Hillis-Steele prefixes across the n/K block totals, then
+    Q_d = block_prefix[(C(d)-1) div K] + fine_prefix[C(d)-1] — two gathers
+    plus one wide add per window. ~n + O(n/K log n) EC adds total.
+  * COMPILE ECONOMY is a design axis: XLA compiles of EC-arithmetic programs
+    are expensive (~20s each on the remote TPU compiler; measured ~50x
+    worse when the EC op sits inside an XLA while loop on CPU). So every
+    primitive here is a small LOOP-FREE program compiled once per shape, and
+    all sequential structure (the K-1 scan steps, the log-depth
+    Hillis-Steele rounds) is sequenced eagerly from the host. ~7 EC programs
+    per curve cover the whole MSM.
   * Digit 0 contributes to every Q_d equally and cancels in the telescope,
     so zero scalars and masked-out points (partial proofs) are free.
-  * Windows are processed in groups sized to bound the reduction-tree
-    footprint; group results combine by tree.
+  * Windows are processed in groups sized to bound the prefix-array
+    footprint; group results combine across windows with one more scan.
 
-Multi-chip: points shard over the mesh's "tp" axis; per-shard accumulators
-combine with all_gather + EC tree reduction (parallel/sharded.py).
+Every pipeline array carries a leading shard axis S (size 1 on a single
+device) so the tensor-parallel path (parallel/sharded.py) reuses this exact
+orchestration with shard_map-wrapped primitives: points shard over the mesh
+"tp" axis, batches over "dp", and only the final (16*C*3*B)-word
+accumulators cross chips.
 """
 
 from __future__ import annotations
@@ -46,87 +56,69 @@ from .curve import CurveOps, best_curve_ops
 C_BITS = 8
 N_BUCKETS = 1 << C_BITS
 N_WINDOWS = 32  # 256 bits / 8
-# Window-group size: bounds the reduction-tree footprint. The up-sweep keeps
-# ~2x the base level resident: 384 * C * G * n * B bytes; cap C*G*B so the
-# peak stays a few GB at n = 8192.
+# Window-group size: bounds the prefix-array footprint. The block scan keeps
+# the projective fine-prefix array resident: 192 * C * G * n * B bytes; cap
+# C*G*B so the peak stays a few GB at n = 8192.
 MAX_CGB = 1024
+K_BLOCK = 32  # intra-block scan length (n is padded to a multiple)
+PAD_GRANULARITY = 4096  # base sets pad up so equal-size MSMs share a compile
 
 
-def _identity_np(adapter, shape):
-    """Projective identity (0, 1, 0) as a host array of the given shape
-    (16, C, 3, *batch); Y's component 0 is one in Montgomery form."""
-    out = np.zeros(shape, dtype=np.uint32)
-    one = FQ.one_mont.reshape((NUM_LIMBS,) + (1,) * (len(shape) - 3))
-    out[:, 0, 1] = np.broadcast_to(one, (NUM_LIMBS,) + shape[3:])
-    return out
+def encode_affine_points(points, adapter) -> np.ndarray:
+    """Host affine points (ints; None = infinity) -> (16, C, 2, n) u32.
+
+    G1 points are (x, y); G2 points are ((x0,x1), (y0,y1)). The (0, 0)
+    encoding of infinity matches the zkey sentinel convention."""
+    if adapter is FqAdapter:
+        flat = []
+        for p in points:
+            x, y = (0, 0) if p is None else p
+            flat.extend([x, y])
+    else:
+        flat = []
+        for p in points:
+            if p is None:
+                flat.extend([(0, 0), (0, 0)])
+            else:
+                flat.extend([p[0], p[1]])
+    enc = np.asarray(adapter.encode(flat)).reshape(
+        NUM_LIMBS, adapter.components, len(points), 2
+    )
+    return np.moveaxis(enc, 3, 2)  # (16, C, 2, n)
 
 
-def precompute_window_tables(adapter, points_aff: jnp.ndarray) -> jnp.ndarray:
-    """points_aff: (16, C, 2, n) affine -> tables (16, C, 2, W, n) affine
-    with tables[..., w, i] = 2^(8w) * P_i."""
-    cv = best_curve_ops(adapter)
-    proj = cv.from_affine(points_aff)  # (16, C, 3, n)
-
-    def step(carry, _):
-        nxt = jax.lax.fori_loop(0, C_BITS, lambda _, a: cv.double(a), carry)
-        return nxt, carry
-
-    _, stacked = jax.lax.scan(step, proj, None, length=N_WINDOWS)  # (W, 16, C, 3, n)
-    stacked = jnp.moveaxis(stacked, 0, 3)  # (16, C, 3, W, n)
-    return cv.to_affine(stacked)  # (16, C, 2, W, n); infinity -> (0, 0)
+# ---------------------------------------------------------------------------
+# Loop-free primitive programs (leading shard axis S; bodies squeeze it)
+# ---------------------------------------------------------------------------
 
 
-def _digits_for_windows(scalars: jnp.ndarray, w0: int, count: int) -> jnp.ndarray:
-    """scalars (16, n, B) canonical -> digits (count, n, B) for windows w0.."""
-    rows = []
-    for w in range(w0, w0 + count):
-        limb = scalars[w // 2]
-        shift = (w % 2) * 8
-        rows.append((limb >> shift) & np.uint32(0xFF))
-    return jnp.stack(rows, axis=0)
+def _squeezed(fn):
+    """Wraps a body over squeezed arrays into the S-leading convention."""
+
+    @functools.wraps(fn)
+    def wrapped(*args):
+        return fn(*(a[0] if hasattr(a, "ndim") and a.ndim > 0 else a for a in args))
+
+    return wrapped
 
 
-def tables_to_aos(adapter, tables: jnp.ndarray) -> jnp.ndarray:
-    """(16, C, 2, W, n) SoA tables -> (W*n, 16*C*2) AoS point rows.
+def _sort_gather_body(adapter, tables_aos, digits, n):
+    """Sort digits per lane, gather AoS point rows in sorted order.
 
-    TPU gathers cost ~per indexed slice, so gathering 128-byte CONTIGUOUS
-    point rows along the leading axis is ~40x faster than a strided
-    take_along_axis over the SoA layout. Row word order is limb-major
-    (limb, comp, coord) so the transpose back to SoA is a pure reshape.
-    """
-    w, n = tables.shape[3], tables.shape[4]
-    t = jnp.transpose(tables, (3, 4, 0, 1, 2))  # (W, n, 16, C, 2)
-    return t.reshape(w * n, NUM_LIMBS * adapter.components * 2)
-
-
-def _stage_sort_gather(adapter, tables_aos, digits, n, pad_to):
-    """Sort digits per lane and gather points in sorted order (kept AFFINE —
-    the base tree level enters through mixed addition).
-
-    tables_aos: (G*n, K) AoS point rows; digits: (G,n,B) ->
-    (16,C,2,G,pad_to,B) SoA. The gather moves contiguous 128-byte rows; one
-    transpose converts back to the SoA kernel layout. The tail [n:pad_to] is
-    padded with the (0, 0) infinity sentinel so the up-sweep tree is a
-    perfect binary tree.
+    tables_aos: (G*n, K) rows; digits: (G,n,B) -> (16,C,2,G,n,B) SoA affine.
+    Gathering contiguous 128-byte rows along the leading axis is ~40x faster
+    on TPU than a strided take_along_axis over the SoA layout.
     """
     gw, _, batch = digits.shape
     order = jnp.argsort(digits, axis=1)  # (G, n, B)
     base = (jnp.arange(gw, dtype=jnp.int32) * n)[:, None, None]
     flat = (base + order.astype(jnp.int32)).reshape(-1)
     rows = jnp.take(tables_aos, flat, axis=0)  # (G*n*B, K) contiguous rows
-    soa = rows.T.reshape(NUM_LIMBS, adapter.components, 2, gw, n, batch)
-    if pad_to > n:
-        pad_shape = soa.shape[:4] + (pad_to - n,) + soa.shape[5:]
-        soa = jnp.concatenate([soa, jnp.zeros(pad_shape, dtype=U32)], axis=4)
-    return soa
+    return rows.T.reshape(NUM_LIMBS, adapter.components, 2, gw, n, batch)
 
 
-def _stage_counts(digits):
-    """digits (G,n,B) -> counts (G,255,B) int32 with counts[d] = #(digit <= d).
-
-    Integer-only histogram + cumsum; order-independent so the unsorted digits
-    work as well as the sorted ones.
-    """
+def _counts_body(digits):
+    """digits (G,n,B) -> counts (G,255,B) int32 with counts[d] = #(digit <= d)."""
     gw, n, batch = digits.shape
     d32 = digits.astype(jnp.int32)
     g_idx = jnp.broadcast_to(jnp.arange(gw, dtype=jnp.int32)[:, None, None], d32.shape)
@@ -136,61 +128,58 @@ def _stage_counts(digits):
     return jnp.cumsum(hist, axis=1)[:, : N_BUCKETS - 1]
 
 
-def _stage_upsweep0(adapter, aff):
-    """First reduction-tree level from the sorted AFFINE base: promote the
-    even elements to projective and mixed-add the odd ones.
-    (16,C,2,G,m,B) -> (16,C,3,G,m/2,B)."""
-    cv = best_curve_ops(adapter)
-    return cv.add_mixed(cv.from_affine(aff[:, :, :, :, 0::2]), aff[:, :, :, :, 1::2])
+def _mixed_step_body(cv, prev, blocks, j):
+    """One intra-block scan step: prev + blocks[..., j, :] (j traced)."""
+    col = jax.lax.dynamic_index_in_dim(blocks, j, axis=5, keepdims=False)
+    return cv.add_mixed(prev, col)
 
 
-def _stage_upsweep(adapter, arr):
-    """One reduction-tree level: combine adjacent pairs along the n axis.
-    (16,C,3,G,m,B) -> (16,C,3,G,m/2,B)."""
-    cv = best_curve_ops(adapter)
-    return cv.add(arr[:, :, :, :, 0::2], arr[:, :, :, :, 1::2])
+def _hs_step_body(cv, arr, shift, axis):
+    """One Hillis-Steele round: arr[i] += arr[i - shift] where defined."""
+    shape = [1] * arr.ndim
+    shape[axis] = arr.shape[axis]
+    pos = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+    sval = jnp.roll(arr, shift, axis=axis)
+    return jnp.where(pos < shift, arr, cv.add(sval, arr))
 
 
-def _stage_downsweep(adapter, x_parent, level_even):
-    """One Blelloch down-sweep level: exclusive block prefixes at granularity
-    2^k -> granularity 2^(k-1).
+def _excl_shift_body(cv, arr, axis):
+    """Inclusive -> exclusive prefixes: shift right by one, identity at 0."""
+    shape = [1] * arr.ndim
+    shape[axis] = arr.shape[axis]
+    pos = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+    sval = jnp.roll(arr, 1, axis=axis)
+    return jnp.where(pos == 0, cv.identity_like(arr), sval)
 
-    x_parent: (16,C,3,G,m,B); level_even: sums of the LEFT children (the even
-    entries of the 2^(k-1) up-sweep level) — projective (coords 3) or the
-    affine base (coords 2, entering through mixed addition). Left children
-    inherit the parent prefix; right children add the left-child sum.
+
+def _qgather_body(cv, fine_flat, coarse_excl, counts, k, n):
+    """Q_d gather: Q_d = inclusive prefix at C(d)-1 (identity when C(d)=0).
+
+    fine_flat: (16,C,3,G,n,B) intra-block inclusive prefixes;
+    coarse_excl: (16,C,3,G,n/k,B); counts: (G,255,B).
+    Returns (q (16,C,3,G,256,B), s_total (16,C,3,G,B)); q[..., 255, :] is
+    masked to the identity so a plain scan over the 256 axis yields
+    sum_{d=0..254} Q_d, and s_total is the full prefix at n-1.
     """
-    cv = best_curve_ops(adapter)
-    if level_even.shape[2] == 2:
-        right = cv.add_mixed(x_parent, level_even)
-    else:
-        right = cv.add(x_parent, level_even)
-    both = jnp.stack([x_parent, right], axis=5)  # (...,m,2,B)
-    s = both.shape
-    return both.reshape(s[:4] + (s[4] * 2,) + s[6:])
-
-
-def _stage_qsum(adapter, x_base, s_total, counts, n_real):
-    """Gathers Q_d = (exclusive prefix at C(d)) for d = 0..254.
-
-    x_base: (16,C,3,G,n,B) exclusive prefixes over the sorted base;
-    s_total: (16,C,3,G,1,B) full sums; counts: (G,255,B) with C(d) <= n_real.
-    Returns the Q_d values (16,C,3,G,255,B); C(d) = n_real selects S_total.
-    """
-    n = x_base.shape[4]
-    idx = jnp.minimum(counts, n - 1).astype(jnp.int32)
-    shape = x_base.shape[:4] + idx.shape[1:]
+    gw, _, batch = counts.shape
+    total_col = jnp.full((gw, 1, batch), n, dtype=jnp.int32)
+    c_all = jnp.concatenate([counts, total_col], axis=1)  # (G,256,B)
+    idx = jnp.maximum(c_all - 1, 0)
+    shape = fine_flat.shape[:4] + idx.shape[1:]
     idx_b = jnp.broadcast_to(idx[None, None, None], shape)
-    gathered = jnp.take_along_axis(x_base, idx_b, axis=4)  # (16,C,3,G,255,B)
-    full = (counts >= n_real)[None, None, None]
-    q = jnp.where(full, jnp.broadcast_to(s_total, gathered.shape), gathered)
-    return q
+    f = jnp.take_along_axis(fine_flat, idx_b, axis=4)  # (16,C,3,G,256,B)
+    blk_b = jnp.broadcast_to((idx // k)[None, None, None], shape)
+    cq = jnp.take_along_axis(coarse_excl, blk_b, axis=4)
+    q = cv.add(f, cq)
+    ident = cv.identity_like(q)
+    q = jnp.where((c_all == 0)[None, None, None], ident, q)
+    s_total = q[:, :, :, :, N_BUCKETS - 1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, N_BUCKETS, 1), 4)
+    return jnp.where(pos == N_BUCKETS - 1, ident, q), s_total
 
 
-def _stage_window_finish(adapter, sum_q, s_total):
-    """Window result from the telescoped bucket identity:
-    sum_{d=1..255} d*B_d = 255*S_total - sum_{d=0..254} Q_d."""
-    cv = best_curve_ops(adapter)
+def _finish_body(cv, sum_q, s_total):
+    """Window telescope: 255*S_total - sum_{d=0..254} Q_d (8 doublings)."""
     t = s_total
     for _ in range(8):
         t = cv.double(t)  # 256 * S
@@ -198,43 +187,101 @@ def _stage_window_finish(adapter, sum_q, s_total):
     return cv.add(t, cv.neg(sum_q))
 
 
-def _hs_plain_scan(cv, arr, axis: int):
-    """Inclusive EC-add prefix scan along `axis` (Hillis-Steele, one program)."""
-    n = arr.shape[axis]
-    log_n = max(1, (n - 1).bit_length())
-    shape = [1] * arr.ndim
-    shape[axis] = n
-    pos = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
-
-    def level(k, val):
-        shift = jnp.int32(1) << k
-        sval = jnp.roll(val, shift, axis=axis)
-        keep_old = pos < shift
-        merged = cv.add(sval, val)
-        return jnp.where(keep_old, val, merged)
-
-    return jax.lax.fori_loop(0, log_n, level, arr)
+def _double8_body(cv, proj):
+    for _ in range(C_BITS):
+        proj = cv.double(proj)
+    return proj
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_fns(adapter):
+def _prims(adapter):
+    """Single-device primitive programs (S = 1 leading axis convention).
+
+    Primitives with static parameters are BUILDERS: prims["sort"](n) returns
+    the jitted callable. parallel/sharded.py provides the same interface with
+    shard_map-wrapped bodies for the tensor-parallel path.
+    """
+    cv = best_curve_ops(adapter)
+
+    def builder(make_body):
+        @functools.lru_cache(maxsize=None)
+        def build(*static):
+            return jax.jit(_squeezed(make_body(*static)))
+
+        return build
+
     return {
-        "sort": jax.jit(
-            functools.partial(_stage_sort_gather, adapter), static_argnums=(2, 3)
+        "sort": builder(
+            lambda n: lambda t, d: _sort_gather_body(adapter, t, d, n)[None]
         ),
-        "counts": jax.jit(_stage_counts),
-        "upsweep0": jax.jit(functools.partial(_stage_upsweep0, adapter)),
-        "upsweep": jax.jit(functools.partial(_stage_upsweep, adapter)),
-        "downsweep": jax.jit(functools.partial(_stage_downsweep, adapter)),
-        "qsum": jax.jit(functools.partial(_stage_qsum, adapter), static_argnums=3),
-        "finish": jax.jit(functools.partial(_stage_window_finish, adapter)),
-        "final": jax.jit(
-            functools.partial(
-                lambda ad, arr: _hs_plain_scan(best_curve_ops(ad), arr, 3)[:, :, :, -1],
-                adapter,
+        "counts": jax.jit(_squeezed(lambda d: _counts_body(d)[None])),
+        "promote": jax.jit(_squeezed(lambda aff: cv.from_affine(aff)[None])),
+        "mixed_step": jax.jit(
+            lambda prev, blocks, j: _mixed_step_body(cv, prev[0], blocks[0], j)[None]
+        ),
+        "hs_step": builder(
+            lambda axis: lambda arr, shift: _hs_step_body(cv, arr, shift, axis)[None]
+        ),
+        "excl_shift": builder(
+            lambda axis: lambda arr: _excl_shift_body(cv, arr, axis)[None]
+        ),
+        "qgather": builder(
+            lambda k, n: lambda fine, coarse, counts: tuple(
+                x[None] for x in _qgather_body(cv, fine, coarse, counts, k, n)
             )
         ),
+        "finish": jax.jit(
+            lambda sum_q, s_total: _finish_body(cv, sum_q[0], s_total[0])[None]
+        ),
+        "double8": jax.jit(_squeezed(lambda p: _double8_body(cv, p)[None])),
+        "to_affine": jax.jit(_squeezed(lambda p: cv.to_affine(p)[None])),
+        "shard_reduce": jax.jit(lambda w: w[0]),  # S = 1: nothing to combine
     }
+
+
+def _hs_scan_eager(prims, arr, axis_sq: int):
+    """Inclusive EC prefix scan along squeezed axis `axis_sq`, sequenced
+    eagerly over one compiled Hillis-Steele round program."""
+    n = arr.shape[axis_sq + 1]
+    step = prims["hs_step"](axis_sq)
+    shift = 1
+    while shift < n:
+        arr = step(arr, jnp.int32(shift))
+        shift *= 2
+    return arr
+
+
+def digits_for_windows(scalars_s: jnp.ndarray) -> jnp.ndarray:
+    """scalars (S, 16, n, B) canonical -> digits (S, W, n, B) uint32."""
+    rows = []
+    for w in range(N_WINDOWS):
+        limb = scalars_s[:, w // 2]
+        shift = (w % 2) * 8
+        rows.append((limb >> shift) & np.uint32(0xFF))
+    return jnp.stack(rows, axis=1)
+
+
+def tables_to_aos_s(adapter, tables: jnp.ndarray) -> jnp.ndarray:
+    """(S, 16, C, 2, W, n) SoA tables -> (S, W*n, 16*C*2) AoS point rows.
+
+    Row word order is limb-major (limb, comp, coord) so the transpose back
+    to SoA after the sorted gather is a pure reshape."""
+    s, w, n = tables.shape[0], tables.shape[4], tables.shape[5]
+    t = jnp.transpose(tables, (0, 4, 5, 1, 2, 3))  # (S, W, n, 16, C, 2)
+    return t.reshape(s, w * n, NUM_LIMBS * adapter.components * 2)
+
+
+def build_window_tables(prims, points_s: jnp.ndarray) -> jnp.ndarray:
+    """points (S, 16, C, 2, n) affine -> tables (S, 16, C, 2, W, n) with
+    tables[..., w, i] = 2^(8w) * P_i. Eagerly sequenced doublings over one
+    compiled 8-double program."""
+    proj = prims["promote"](points_s)  # (S, 16, C, 3, n)
+    cols = [proj]
+    for _ in range(1, N_WINDOWS):
+        proj = prims["double8"](proj)
+        cols.append(proj)
+    stacked = jnp.stack(cols, axis=4)  # (S, 16, C, 3, W, n)
+    return prims["to_affine"](stacked)  # (S, 16, C, 2, W, n); inf -> (0, 0)
 
 
 def _window_group(batch: int, components: int) -> int:
@@ -244,68 +291,61 @@ def _window_group(batch: int, components: int) -> int:
     return g
 
 
-def msm_from_tables(
-    adapter, tables_aos: jnp.ndarray, scalars: jnp.ndarray, n: int
-) -> jnp.ndarray:
-    """tables_aos: (W*n, 16*C*2) AoS rows (tables_to_aos); scalars:
-    (16, n, B) canonical limbs. Returns projective accumulators (16, C, 3, B).
+def block_size_for(n: int) -> int:
+    return K_BLOCK if n % K_BLOCK == 0 else n  # small test MSMs: one block
 
-    Orchestrated as separately-jitted stages per window group: each stage
-    program is small (the remote TPU compiler scales badly with module size)
-    and reused across groups, MSMs, and query sets of the same shape. The
-    up/down-sweep stages recompile per tree level, but each program holds a
-    single EC add (a Pallas kernel on TPU).
+
+def msm_pipeline(prims, tables_aos, digits_all, n: int, group: int) -> jnp.ndarray:
+    """Windowed bucket pipeline over S-leading arrays.
+
+    tables_aos: (S, W*n, rowK) AoS rows; digits_all: (S, W, n, B).
+    Returns per-window-group-combined projective accumulators via the
+    provider's shard_reduce: (16, C, 3, B).
     """
-    batch = scalars.shape[2]
-    fns = _stage_fns(adapter)
-    n_pad = 1 << max(1, (n - 1).bit_length())
-
-    group = _window_group(batch, adapter.components)
+    s_dim, w_dim, _, batch = digits_all.shape
+    k = block_size_for(n)
     assert N_WINDOWS % group == 0
     n_groups = N_WINDOWS // group
-    all_digits = _digits_for_windows(scalars, 0, N_WINDOWS)  # (W, n, B)
-    digits_g = all_digits.reshape(n_groups, group, n, batch)
-    tables_g = tables_aos.reshape(n_groups, group * n, tables_aos.shape[1])
+    tables_g = tables_aos.reshape(s_dim, n_groups, group * n, tables_aos.shape[2])
+    sort = prims["sort"](n)
+    qgather = prims["qgather"](k, n)
     sums = []
     for g in range(n_groups):
-        # levels[0] is the sorted AFFINE base; levels[k>=1] are projective
-        # sums of blocks of 2^k sorted points
-        levels = [fns["sort"](tables_g[g], digits_g[g], n, n_pad)]
-        counts = fns["counts"](digits_g[g])
-        if levels[0].shape[4] > 1:
-            levels.append(fns["upsweep0"](levels[0]))
-        while levels[-1].shape[4] > 1:
-            levels.append(fns["upsweep"](levels[-1]))
-        # Blelloch down-sweep: exclusive prefixes at every base position
-        x = jnp.asarray(
-            _identity_np(
-                adapter, (NUM_LIMBS, adapter.components, 3, group, 1, batch)
-            )
-        )
-        for level in levels[-2::-1]:
-            x = fns["downsweep"](x, level[:, :, :, :, 0::2])
-        q = fns["qsum"](x, levels[-1], counts, n)
-        # tree-reduce the 255 queries (pad to 256 with the identity)
-        pad = jnp.asarray(_identity_np(adapter, q[:, :, :, :, :1].shape))
-        acc = jnp.concatenate([q, pad], axis=4)
-        while acc.shape[4] > 1:
-            acc = fns["upsweep"](acc)
-        sums.append(fns["finish"](acc[:, :, :, :, 0], levels[-1][:, :, :, :, 0]))
-    all_windows = jnp.concatenate(sums, axis=3)  # (16, C, 3, W, B)
-    return fns["final"](all_windows)
+        dg = digits_all[:, g * group : (g + 1) * group]  # (S, G, n, B)
+        aff = sort(tables_g[:, g], dg)  # (S,16,C,2,G,n,B)
+        counts = prims["counts"](dg)
+        # intra-block inclusive prefixes: K-1 eager steps of one program
+        sh = aff.shape
+        blocks = aff.reshape(sh[:5] + (n // k, k, batch))
+        prev = prims["promote"](blocks[:, :, :, :, :, :, 0])
+        cols = [prev]
+        for j in range(1, k):
+            prev = prims["mixed_step"](prev, blocks, jnp.int32(j))
+            cols.append(prev)
+        fine = jnp.stack(cols, axis=6)  # (S,16,C,3,G,NB,k,B)
+        totals = fine[:, :, :, :, :, :, k - 1]
+        fine = fine.reshape(sh[:3] + (3,) + sh[4:])  # (S,16,C,3,G,n,B)
+        # exclusive block prefixes across the n/k totals
+        coarse = _hs_scan_eager(prims, totals, 4)
+        coarse = prims["excl_shift"](4)(coarse)
+        q, s_total = qgather(fine, coarse, counts)
+        sum_q = _hs_scan_eager(prims, q, 4)[:, :, :, :, :, -1]
+        sums.append(prims["finish"](sum_q, s_total))
+    all_windows = jnp.concatenate(sums, axis=4)  # (S, 16, C, 3, W, B)
+    win = _hs_scan_eager(prims, all_windows, 3)[:, :, :, :, -1]  # (S,16,C,3,B)
+    return prims["shard_reduce"](win)
 
 
 def msm_accumulate(adapter, points, scalars):
-    """One-shot MSM from affine points (tables built in-trace); used by the
-    sharded path. For repeated MSMs over the same bases use the MSM class,
-    which caches the window tables."""
-    tables = precompute_window_tables(adapter, points)
-    return msm_from_tables(
-        adapter, tables_to_aos(adapter, tables), scalars, tables.shape[4]
-    )
-
-
-PAD_GRANULARITY = 4096  # base sets pad up so equal-size MSMs share a compile
+    """One-shot MSM from affine points (16,C,2,n) + scalars (16,n,B); tables
+    built on the fly. For repeated MSMs over the same bases use the MSM
+    class, which caches the window tables."""
+    prims = _prims(adapter)
+    tables = build_window_tables(prims, points[None])
+    aos = tables_to_aos_s(adapter, tables)
+    digits = digits_for_windows(scalars[None])
+    group = _window_group(scalars.shape[2], adapter.components)
+    return msm_pipeline(prims, aos, digits, points.shape[3], group)
 
 
 class MSM:
@@ -313,8 +353,7 @@ class MSM:
 
     The base set is padded (with infinity points / zero scalars) to a
     multiple of PAD_GRANULARITY so that the a/b1/l/h query MSMs of a circuit
-    all compile to the same program shape — compilation of the big MSM
-    program is expensive and cached per shape.
+    all compile to the same program shapes — compilation is cached per shape.
     """
 
     def __init__(self, points, adapter):
@@ -330,37 +369,16 @@ class MSM:
         if len(points) > 64:
             points = list(points) + [None] * (pad_to - len(points))
         self.n = len(points)
-        if adapter is FqAdapter:
-            flat = []
-            for p in points:
-                x, y = (0, 0) if p is None else p
-                flat.extend([x, y])
-            enc = adapter.encode(flat)  # (16, 1, 2n)
-        else:
-            flat = []
-            for p in points:
-                if p is None:
-                    flat.extend([(0, 0), (0, 0)])
-                else:
-                    flat.extend([p[0], p[1]])
-            enc = adapter.encode(flat)  # (16, 2, 2n)
-        enc = np.asarray(enc).reshape(NUM_LIMBS, adapter.components, self.n, 2)
-        self.points = jnp.asarray(np.moveaxis(enc, 3, 2))  # (16, C, 2, n)
+        self.points = jnp.asarray(encode_affine_points(points, adapter))
+        self._prim_fns = _prims(adapter)
         self._tables = None
-        # NOTE: msm_from_tables orchestrates its own per-stage jits; wrapping
-        # it in an outer jit would inline them back into one huge program.
-        self._msm_fn = functools.partial(msm_from_tables, adapter)
         self._finish_fn = jax.jit(self.curve.to_affine)
 
     def tables(self) -> jnp.ndarray:
-        """AoS window-table rows (W*n, 16*C*2) — the gather-friendly layout."""
+        """AoS window-table rows (1, W*n, 16*C*2) — the gather-friendly layout."""
         if self._tables is None:
-            build = jax.jit(
-                lambda pts: tables_to_aos(
-                    self.adapter, precompute_window_tables(self.adapter, pts)
-                )
-            )
-            self._tables = build(self.points)
+            t = build_window_tables(self._prim_fns, self.points[None])
+            self._tables = tables_to_aos_s(self.adapter, t)
         return self._tables
 
     def __call__(
@@ -381,7 +399,9 @@ class MSM:
                 (NUM_LIMBS, self.n - self.n_real, scalars.shape[2]), dtype=U32
             )
             scalars = jnp.concatenate([scalars, pad], axis=1)
-        return self._msm_fn(self.tables(), scalars, self.n)
+        digits = digits_for_windows(scalars[None])
+        group = _window_group(scalars.shape[2], self.adapter.components)
+        return msm_pipeline(self._prim_fns, self.tables(), digits, self.n, group)
 
     def to_affine_ints(self, acc):
         """Projective accumulators -> list of host affine points (None = inf)."""

@@ -98,8 +98,241 @@ def pad_points_for_sharding(points: list, shards: int) -> list:
     return points
 
 
-def shard_batch(x: jnp.ndarray, mesh: Mesh, batch_axis: int):
-    """Places an array with the batch dimension sharded over "dp"."""
-    spec = [None] * x.ndim
-    spec[batch_axis] = "dp"
-    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+# ---------------------------------------------------------------------------
+# ShardedMSM: production tensor-parallel MSM with cached per-shard tables
+# ---------------------------------------------------------------------------
+
+
+class _ShardedPrims:
+    """shard_map-wrapped MSM primitives (same interface as msm._prims).
+
+    Every pipeline array keeps its leading shard axis S = |tp| sharded over
+    the mesh "tp" axis and (for batch-carrying arrays) its trailing batch
+    axis sharded over "dp". The bodies are the SAME loop-free programs as
+    the single-device path (groth16/msm.py _*_body), so each primitive
+    compiles once as one small SPMD program.
+    """
+
+    # rank -> last axis is a batch axis? (table-building arrays carry points
+    # on the last axis instead and are never dp-sharded)
+    _BATCH_PRIMS = {
+        "sort", "counts", "mixed_step", "hs_step", "excl_shift", "qgather",
+        "finish", "shard_reduce",
+    }
+
+    def __init__(self, adapter, mesh: Mesh, dp_batch: bool):
+        from ..groth16 import msm as m
+
+        self.adapter = adapter
+        self.mesh = mesh
+        self.b = "dp" if dp_batch and "dp" in mesh.axis_names else None
+        self.cv = best_curve_ops(adapter)
+        self.m = m
+        self._built = {}
+
+    def _spec(self, rank: int, batch_last: bool):
+        if rank == 0:
+            return P()
+        names = ["tp"] + [None] * (rank - 1)
+        if batch_last and rank >= 2:
+            names[-1] = self.b
+        return P(*names)
+
+    def _smap(self, key, body, kinds, out_kinds, args):
+        """kinds/out_kinds: 'b' batch-last, 'n' points-last, 's' scalar."""
+        from jax.experimental.shard_map import shard_map
+
+        ranks = tuple(getattr(a, "ndim", 0) for a in args)
+        cache_key = (key, ranks)
+        fn = self._built.get(cache_key)
+        if fn is None:
+            in_specs = tuple(
+                self._spec(r, k == "b") for k, r in zip(kinds, ranks)
+            )
+            def infer_out(res):
+                return res
+            # out ranks are determined by tracing lazily: use eval_shape
+            out_shapes = jax.eval_shape(body, *args)
+            flat, tree = jax.tree_util.tree_flatten(out_shapes)
+            out_specs = tree.unflatten(
+                [self._spec(s.ndim, k == "b") for s, k in zip(flat, out_kinds)]
+            )
+            fn = jax.jit(
+                shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=in_specs,
+                    out_specs=out_specs,
+                    check_rep=False,
+                )
+            )
+            self._built[cache_key] = fn
+        return fn(*args)
+
+    # -- prims dict interface (mirrors msm._prims) ---------------------------
+
+    def __getitem__(self, name):
+        m, cv = self.m, self.cv
+
+        if name == "sort":
+            def build(n):
+                def call(t, d):
+                    body = lambda tt, dd: m._sort_gather_body(
+                        self.adapter, tt[0], dd[0], n
+                    )[None]
+                    return self._smap("sort%d" % n, body, "nb", "b", (t, d))
+                return call
+            return build
+        if name == "counts":
+            body = lambda d: m._counts_body(d[0])[None]
+            return lambda d: self._smap("counts", body, "b", "b", (d,))
+        if name == "promote":
+            def call(aff):
+                kind = "b" if aff.ndim == 7 else "n"
+                body = lambda a: cv.from_affine(a[0])[None]
+                return self._smap("promote", body, kind, kind, (aff,))
+            return call
+        if name == "mixed_step":
+            body = lambda p, bl, j: m._mixed_step_body(cv, p[0], bl[0], j)[None]
+            return lambda p, bl, j: self._smap(
+                "mixed_step", body, "bbs", "b", (p, bl, j)
+            )
+        if name == "hs_step":
+            def build(axis):
+                body = lambda a, sh: m._hs_step_body(cv, a[0], sh, axis)[None]
+                return lambda a, sh: self._smap(
+                    "hs%d" % axis, body, "bs", "b", (a, sh)
+                )
+            return build
+        if name == "excl_shift":
+            def build(axis):
+                body = lambda a: m._excl_shift_body(cv, a[0], axis)[None]
+                return lambda a: self._smap("excl%d" % axis, body, "b", "b", (a,))
+            return build
+        if name == "qgather":
+            def build(k, n):
+                def call(fine, coarse, counts):
+                    body = lambda f, c, ct: tuple(
+                        x[None]
+                        for x in m._qgather_body(cv, f[0], c[0], ct[0], k, n)
+                    )
+                    return self._smap(
+                        "qgather%d_%d" % (k, n), body, "bbb", "bb",
+                        (fine, coarse, counts),
+                    )
+                return call
+            return build
+        if name == "finish":
+            body = lambda sq, st: m._finish_body(cv, sq[0], st[0])[None]
+            return lambda sq, st: self._smap("finish", body, "bb", "b", (sq, st))
+        if name == "double8":
+            body = lambda p: m._double8_body(cv, p[0])[None]
+            return lambda p: self._smap("double8", body, "n", "n", (p,))
+        if name == "to_affine":
+            body = lambda p: cv.to_affine(p[0])[None]
+            return lambda p: self._smap("to_affine", body, "n", "n", (p,))
+        if name == "shard_reduce":
+            def body(win):  # local (1,16,C,3,Bl) -> (16,C,3,Bl) tp-replicated
+                gathered = jax.lax.all_gather(win[0], "tp")  # (S,16,C,3,Bl)
+                return _tree_reduce_points(cv, gathered)
+
+            def call(win):
+                from jax.experimental.shard_map import shard_map
+
+                fn = self._built.get("shard_reduce")
+                if fn is None:
+                    fn = jax.jit(
+                        shard_map(
+                            body,
+                            mesh=self.mesh,
+                            in_specs=(self._spec(win.ndim, True),),
+                            out_specs=P(None, None, None, self.b),
+                            check_rep=False,
+                        )
+                    )
+                    self._built["shard_reduce"] = fn
+                return fn(win)
+            return call
+        raise KeyError(name)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_prims(adapter, mesh: Mesh, dp_batch: bool) -> _ShardedPrims:
+    return _ShardedPrims(adapter, mesh, dp_batch)
+
+
+class ShardedMSM:
+    """Tensor-parallel MSM over one fixed base set, mesh-resident tables.
+
+    Drop-in for groth16.msm.MSM when proving over a mesh: the base points
+    shard over the mesh's "tp" axis (each shard holds n/tp points and its
+    own window tables, built once on device), scalar batches shard over
+    "dp", and the per-shard accumulators combine with an all_gather over
+    "tp" + EC tree reduction (the only communication — 16*C*3*B words).
+    Reuses the exact single-device pipeline (groth16/msm.py msm_pipeline)
+    through shard_map-wrapped primitives.
+    """
+
+    def __init__(self, points, adapter, mesh: Mesh, dp_batch: bool = True):
+        from ..groth16.msm import K_BLOCK, encode_affine_points
+
+        self.adapter = adapter
+        self.curve = CurveOps(adapter)
+        self.mesh = mesh
+        self.tp = mesh.shape["tp"]
+        self.dp = mesh.shape.get("dp", 1) if dp_batch else 1
+        self.n_real = len(points)
+        gran = self.tp * K_BLOCK
+        pad_to = max(gran, -(-len(points) // gran) * gran)
+        points = list(points) + [None] * (pad_to - len(points))
+        self.n = pad_to
+        self.n_loc = pad_to // self.tp
+        enc = encode_affine_points(points, adapter)  # (16, C, 2, n)
+        enc = np.moveaxis(
+            enc.reshape(enc.shape[:3] + (self.tp, self.n_loc)), 3, 0
+        )  # (S, 16, C, 2, n_loc)
+        self.prims = _sharded_prims(adapter, mesh, dp_batch)
+        self.points = jax.device_put(
+            jnp.asarray(np.ascontiguousarray(enc)), NamedSharding(mesh, P("tp"))
+        )
+        self._tables = None
+        self._finish_fn = jax.jit(self.curve.to_affine)
+
+    def tables(self):
+        if self._tables is None:
+            from ..groth16.msm import build_window_tables, tables_to_aos_s
+
+            t = build_window_tables(self.prims, self.points)
+            self._tables = tables_to_aos_s(self.adapter, t)  # (S, W*n_loc, K)
+        return self._tables
+
+    def __call__(self, scalars_canon, mask=None):
+        """scalars_canon: (16, n_real, B) canonical limbs (B % dp == 0).
+        Returns projective accumulators (16, C, 3, B), replicated over tp and
+        sharded over dp."""
+        from ..ff.field import NUM_LIMBS, U32
+        from ..groth16 import msm as m
+
+        if scalars_canon.shape[1] != self.n_real:
+            raise ValueError(
+                f"expected {self.n_real} scalars, got {scalars_canon.shape[1]}"
+            )
+        scalars = jnp.asarray(scalars_canon)
+        batch = scalars.shape[2]
+        if mask is not None:
+            scalars = jnp.where(jnp.asarray(mask)[None], scalars, 0)
+        if self.n != self.n_real:
+            pad = jnp.zeros((NUM_LIMBS, self.n - self.n_real, batch), dtype=U32)
+            scalars = jnp.concatenate([scalars, pad], axis=1)
+        b = "dp" if self.dp > 1 else None
+        # (16, n, B) -> (S, 16, n_loc, B) sharded over ("tp", batch over "dp")
+        sh = jnp.moveaxis(scalars.reshape(NUM_LIMBS, self.tp, self.n_loc, batch), 1, 0)
+        sh = jax.device_put(sh, NamedSharding(self.mesh, P("tp", None, None, b)))
+        digits = m.digits_for_windows(sh)  # (S, W, n_loc, B)
+        group = m._window_group(max(1, batch // self.dp), self.adapter.components)
+        return m.msm_pipeline(self.prims, self.tables(), digits, self.n_loc, group)
+
+    def to_affine_ints(self, acc):
+        from ..groth16.msm import MSM
+
+        return MSM.to_affine_ints(self, acc)
