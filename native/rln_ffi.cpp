@@ -375,6 +375,19 @@ int rln_generate_proof(uint64_t handle, const uint8_t *witness,
       out);
 }
 
+int rln_prove_with_witness(uint64_t handle, const uint8_t *calculated,
+                           size_t calculated_len, const uint8_t *witness,
+                           size_t witness_len, int be, rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("prove_with_witness",
+                Py_BuildValue("(Ky#y#i)", handle, (const char *)calculated,
+                              (Py_ssize_t)calculated_len,
+                              (const char *)witness, (Py_ssize_t)witness_len,
+                              be)),
+      out);
+}
+
 static int bool_result(PyObject *res, int *ok) {
   if (!res) return -1;
   *ok = PyObject_IsTrue(res);

@@ -18,11 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the limb-arithmetic programs are large and
+# Persistent compilation cache (machine-keyed: foreign AOT entries are
+# rejected/SIGILL-prone): the limb-arithmetic programs are large and
 # recompiling them every test run dominates wall-clock.
-os.makedirs("/tmp/zerokit_tpu_xla_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/zerokit_tpu_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from zerokit_tpu.runtime.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 import random
 

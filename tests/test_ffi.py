@@ -211,3 +211,41 @@ def test_proof_roundtrip_and_slashing(lib, engine):
         == 0
     ), lib.rln_last_error()
     assert from_fr(take(lib, buf)) == int(sk)
+
+
+@pytest.mark.slow
+def test_prove_with_witness_ffi(lib, engine):
+    """External-witness proving through the C ABI (rln_prove_with_witness):
+    witness vector computed by the host interpreter outside the engine."""
+    from zerokit_tpu.circuit import witness_host
+    from zerokit_tpu.circuit.graph import graph_from_bytes
+    from zerokit_tpu.protocol.witness import RLNWitnessInput
+
+    buf = RlnBuffer()
+    limit = 4
+    sk, pk = seeded_keygen(b"ffi-ext-witness")
+    rate_commitment = poseidon_hash_pair(pk, limit)
+    assert lib.rln_set_leaf(engine, 2, fr(rate_commitment)) == 0
+    assert lib.rln_get_merkle_proof(engine, 2, ctypes.byref(buf)) == 0
+    data = take(lib, buf)
+    elements, used = ser.bytes_to_vec_fr(data, False)
+    indices, _ = ser.bytes_to_vec_u8(data[used:], False)
+
+    w = RLNWitnessInput.new_single(
+        sk, limit, 1, elements, indices,
+        hash_to_field_le(b"ext-sig"), hash_to_field_le(b"ext-epoch"),
+    )
+    graph = graph_from_bytes(load_resource("tree_depth_10/graph.bin"), 10, None)
+    calculated = witness_host.calc_witness(w.named_inputs(), graph)
+    calc_le = b"".join(fr(v) for v in calculated)
+    wb = ser.rln_witness_to_bytes(w, False)
+    assert (
+        lib.rln_prove_with_witness(
+            engine, calc_le, len(calc_le), wb, len(wb), 0, ctypes.byref(buf)
+        )
+        == 0
+    ), lib.rln_last_error()
+    proof = take(lib, buf)
+    ok = ctypes.c_int(-1)
+    assert lib.rln_verify(engine, proof, len(proof), ctypes.byref(ok)) == 0
+    assert ok.value == 1

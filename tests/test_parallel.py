@@ -54,3 +54,73 @@ def test_sharded_ntt_matches_single_device():
         back = sharded_fft(np.asarray(got), mesh, "tp", inverse=True)
     assert np.array_equal(np.asarray(got), np.asarray(ntt.fft(arr)))
     assert np.array_equal(np.asarray(back), np.asarray(arr))
+
+
+@pytest.mark.slow
+def test_mesh_prover_full_proof_parity():
+    """RLN-level obligation (SURVEY §2d): a full Groth16 proof generated over
+    a (dp, tp) mesh is bit-identical to the single-device proof."""
+    from zerokit_tpu.circuit.zkey import ConstraintMatrices
+    from zerokit_tpu.ff.field import FrField
+    from zerokit_tpu.groth16.prover import Groth16Prover
+    from zerokit_tpu.groth16.setup import groth16_setup
+    from zerokit_tpu.groth16.verifier import prepare_verifying_key, verify_proof
+
+    matrices = ConstraintMatrices(
+        num_instance_variables=2,
+        num_witness_variables=2,
+        num_constraints=2,
+        a_num_non_zero=2,
+        b_num_non_zero=2,
+        c_num_non_zero=2,
+        a=[[(1, 2)], [(1, 3)]],
+        b=[[(1, 2)], [(1, 2)]],
+        c=[[(1, 3)], [(1, 1)]],
+    )
+    rnd = random.Random(77)
+    zkey = groth16_setup(matrices, rnd)
+
+    B = 4
+    rows = []
+    for _ in range(B):
+        w1 = rnd.randrange(R)
+        w2 = w1 * w1 % R
+        rows.append([1, w2 * w1 % R, w1, w2])
+    flat = [rows[b][i] for i in range(4) for b in range(B)]
+    canon = encode_canonical_fast(flat).reshape(16, 4, B)
+    assignment = FrField.to_mont(np.asarray(canon))
+    rs = [5, 6, 7, 8]
+    ss = [9, 10, 11, 12]
+
+    def prove(mesh):
+        prover = Groth16Prover.__new__(Groth16Prover)
+        prover.zkey = zkey
+        prover.graph = None
+        prover.mesh = mesh
+        prover.evaluator = None
+        prover.num_inputs = 2
+        prover.n_wires = 4
+        from zerokit_tpu.groth16.qap import WitnessMapper
+        from zerokit_tpu.parallel.sharded import ShardedMSM
+
+        prover.mapper = WitnessMapper(matrices)
+        if mesh is not None:
+            mk = lambda pts, ad: ShardedMSM(pts, ad, mesh)
+        else:
+            mk = MSM
+        from zerokit_tpu.ff.fq2 import Fq2Adapter
+
+        prover.msm_a = mk(zkey.pk.a_query, FqAdapter)
+        prover.msm_b1 = mk(zkey.pk.b_g1_query, FqAdapter)
+        prover.msm_b2 = mk(zkey.pk.b_g2_query, Fq2Adapter)
+        prover.msm_h = mk(zkey.pk.h_query, FqAdapter)
+        prover.msm_l = mk(zkey.pk.l_query, FqAdapter)
+        return prover.prove_batch_with_assignment(assignment, rs, ss)
+
+    single = prove(None)
+    mesh = make_mesh(tp=2, dp=4)
+    with mesh:
+        sharded = prove(mesh)
+    assert sharded == single
+    pvk = prepare_verifying_key(zkey.pk.vk)
+    assert verify_proof(pvk, single[0], [rows[0][1]])

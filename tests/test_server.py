@@ -95,3 +95,90 @@ def test_verify_paths():
             svc.verify(blob, values.x + 1, [values.root])
     finally:
         svc.stop()
+
+
+# ---------------------------------------------------------------------------
+# HTTP-level coverage: real socket, routing, content handling, error mapping
+# (server.py make_handler / ThreadingHTTPServer surface).
+# ---------------------------------------------------------------------------
+
+import http.client
+import json
+
+from http.server import ThreadingHTTPServer
+
+from zerokit_tpu.server import make_handler
+
+
+@pytest.fixture()
+def http_service():
+    stub = StubRLN()
+    svc = ProverService(rln=stub, max_batch=8, max_wait_ms=20)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield stub, svc, server.server_address[1]
+    finally:
+        server.shutdown()
+        server.server_close()
+        svc.stop()
+
+
+def _request(port, method, path, payload=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    body = json.dumps(payload).encode() if payload is not None else None
+    headers = {"Content-Type": "application/json"} if body else {}
+    conn.request(method, path, body=body, headers=headers)
+    resp = conn.getresponse()
+    data = json.loads(resp.read() or b"{}")
+    conn.close()
+    return resp.status, data
+
+
+def test_http_healthz_and_routing(http_service):
+    _, _, port = http_service
+    status, data = _request(port, "GET", "/healthz")
+    assert status == 200
+    assert data["status"] == "ok" and data["tree_depth"] == 20
+    status, _ = _request(port, "GET", "/nope")
+    assert status == 404
+    status, _ = _request(port, "POST", "/nope", {})
+    assert status == 404
+
+
+def test_http_prove_verify_roundtrip(http_service):
+    stub, svc, port = http_service
+    wbytes = rln_witness_to_bytes(_witness(1))
+    status, data = _request(port, "POST", "/prove", {"witness_hex": wbytes.hex()})
+    assert status == 200, data
+    proof_hex = data["proof_hex"]
+    proof, _ = bytes_to_rln_proof(bytes.fromhex(proof_hex))
+    assert proof.proof == stub.proof
+
+    # stateless verify
+    status, data = _request(port, "POST", "/verify", {"proof_hex": proof_hex})
+    assert status == 200 and data["valid"] is True
+
+    # verify_with_roots path: wrong root set -> valid: false via error mapping
+    vals = proof.proof_values
+    status, data = _request(
+        port, "POST", "/verify",
+        {"proof_hex": proof_hex, "x": "%x" % vals.x, "roots": ["%x" % vals.root]},
+    )
+    assert status == 200 and data["valid"] is True
+    status, data = _request(
+        port, "POST", "/verify",
+        {"proof_hex": proof_hex, "x": "%x" % vals.x, "roots": ["1"]},
+    )
+    assert status == 200 and data["valid"] is False
+
+
+def test_http_malformed_requests(http_service):
+    _, _, port = http_service
+    status, data = _request(port, "POST", "/prove", {"witness_hex": "zz"})
+    assert status == 400 and "error" in data
+    status, data = _request(port, "POST", "/prove", {})
+    assert status == 400 and "error" in data
+    status, data = _request(port, "POST", "/verify", {"proof_hex": "00"})
+    assert status == 400 and "error" in data

@@ -66,11 +66,14 @@ def default_graph(mode: str = "single") -> Graph:
 class RLN:
     """RLN proving/verification engine with optional tree state."""
 
-    def __init__(self, zkey: Zkey, graph: Graph, tree=None):
+    def __init__(self, zkey: Zkey, graph: Graph, tree=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh ("dp", "tp") — shards the proving
+        pipeline over a device mesh (parallel/sharded.py); proofs are
+        bit-identical to the single-device path."""
         self.zkey = zkey
         self.graph = graph
         self.tree = tree
-        self.prover = Groth16Prover(zkey, graph)
+        self.prover = Groth16Prover(zkey, graph, mesh=mesh)
         self.pvk = prepare_verifying_key(zkey.pk.vk)
 
     # -- constructors -------------------------------------------------------
@@ -81,12 +84,13 @@ class RLN:
         mode: str = "single",
         zkey_bytes: Optional[bytes] = None,
         graph_bytes: Optional[bytes] = None,
+        mesh=None,
     ) -> "RLN":
         zkey = zkey_from_bytes(zkey_bytes) if zkey_bytes else default_zkey(mode)
         graph = (
             graph_from_bytes(graph_bytes) if graph_bytes else default_graph(mode)
         )
-        return cls(zkey, graph)
+        return cls(zkey, graph, mesh=mesh)
 
     @classmethod
     def stateful(
@@ -95,8 +99,9 @@ class RLN:
         mode: str = "single",
         zkey_bytes: Optional[bytes] = None,
         graph_bytes: Optional[bytes] = None,
+        mesh=None,
     ) -> "RLN":
-        rln = cls.stateless(mode, zkey_bytes, graph_bytes)
+        rln = cls.stateless(mode, zkey_bytes, graph_bytes, mesh=mesh)
         rln.tree = tree if tree is not None else OptimalMerkleTree(rln.graph.tree_depth)
         return rln
 
@@ -208,6 +213,56 @@ class RLN:
         rs = [r if r is not None else secrets.randbelow(R)]
         ss = [s if s is not None else secrets.randbelow(R)]
         return self.generate_proofs([witness], rs, ss)[0]
+
+    def generate_proofs_with_witness(
+        self,
+        calculated_witnesses: Sequence[Sequence[int]],
+        witnesses: Sequence[RLNWitnessInput],
+        rs: Optional[Sequence[int]] = None,
+        ss: Optional[Sequence[int]] = None,
+    ) -> List[Tuple[tuple, RLNProofValues]]:
+        """Proves from externally-computed witness vectors (the browser/wasm
+        flow: the host runs the circom witness calculator and hands the full
+        wire assignment over; reference public.rs:643
+        generate_rln_proof_with_witness). Each calculated witness is the full
+        assignment [1, publics..., aux...] of length n_wires."""
+        from .constants import NUM_LIMBS
+        from .ff.field import FrField, encode_canonical_fast
+
+        if len(calculated_witnesses) != len(witnesses):
+            raise errors.ZerokitError("witness vector / input count mismatch")
+        n_wires = self.prover.n_wires
+        batch = len(witnesses)
+        for cw in calculated_witnesses:
+            if len(cw) != n_wires:
+                raise errors.ZerokitError(
+                    f"calculated witness has {len(cw)} wires, expected {n_wires}"
+                )
+        values = [proof_values_from_witness(w) for w in witnesses]
+        if rs is None:
+            rs = [secrets.randbelow(R) for _ in witnesses]
+        if ss is None:
+            ss = [secrets.randbelow(R) for _ in witnesses]
+        flat = [
+            calculated_witnesses[b][i] % R
+            for i in range(n_wires)
+            for b in range(batch)
+        ]
+        canon = encode_canonical_fast(flat).reshape(NUM_LIMBS, n_wires, batch)
+        assignment = FrField.to_mont(canon)
+        proofs = self.prover.prove_batch_with_assignment(assignment, rs, ss)
+        return list(zip(proofs, values))
+
+    def generate_proof_with_witness(
+        self,
+        calculated_witness: Sequence[int],
+        witness: RLNWitnessInput,
+        r: Optional[int] = None,
+        s: Optional[int] = None,
+    ) -> Tuple[tuple, RLNProofValues]:
+        rs = [r if r is not None else secrets.randbelow(R)]
+        ss = [s if s is not None else secrets.randbelow(R)]
+        return self.generate_proofs_with_witness([calculated_witness], [witness], rs, ss)[0]
 
     def generate_partial_proof(self, partial_witness: RLNPartialWitnessInput) -> PartialProof:
         partial_witness.validate_against_graph(self.graph)

@@ -182,6 +182,24 @@ def generate_proof(handle: int, witness_bytes: bytes, be: bool) -> bytes:
     return ser.proof_v3_to_bytes(proof, values)
 
 
+def prove_with_witness(
+    handle: int, calculated_le: bytes, witness_bytes: bytes, be: bool
+) -> bytes:
+    """Externally-computed witness vector (n_wires LE 32-byte Fr concat) +
+    witness-input wire bytes -> proof_v3 wire bytes (the browser/wasm flow;
+    reference public.rs:643 generate_rln_proof_with_witness)."""
+    rln = _get(handle)
+    if len(calculated_le) % 32:
+        raise ValueError("calculated witness must be 32-byte LE field elements")
+    cw = [
+        int.from_bytes(calculated_le[i : i + 32], "little")
+        for i in range(0, len(calculated_le), 32)
+    ]
+    witness, _ = ser.bytes_to_rln_witness(witness_bytes, be)
+    proof, values = rln.generate_proof_with_witness(cw, witness)
+    return ser.proof_v3_to_bytes(proof, values)
+
+
 def verify(handle: int, proof_bytes: bytes) -> bool:
     rln = _get(handle)
     proof, values = ser.bytes_to_proof_v3(proof_bytes)

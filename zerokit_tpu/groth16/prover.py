@@ -70,9 +70,15 @@ class ProverError(ValueError):
 
 
 class Groth16Prover:
-    def __init__(self, zkey: Zkey, graph: graphmod.Graph):
+    def __init__(self, zkey: Zkey, graph: graphmod.Graph, mesh=None):
+        """mesh: optional jax.sharding.Mesh with ("dp", "tp") axes. When set,
+        the five proving MSMs shard their base points over "tp" (cached
+        per-shard window tables, all_gather + EC tree-reduce combine) and the
+        proof batch axis shards over "dp" (parallel/sharded.py ShardedMSM);
+        single-device results are bit-identical."""
         self.zkey = zkey
         self.graph = graph
+        self.mesh = mesh
         pk = zkey.pk
         self.num_inputs = zkey.matrices.num_instance_variables
         self.n_wires = len(pk.a_query)
@@ -81,20 +87,32 @@ class Groth16Prover:
         except UnsupportedGraph:
             self.evaluator = None  # exotic ops: host interpreter fallback
         self.mapper = WitnessMapper(zkey.matrices)
-        self.msm_a = MSM(pk.a_query, FqAdapter)
-        self.msm_b1 = MSM(pk.b_g1_query, FqAdapter)
-        self.msm_b2 = MSM(pk.b_g2_query, Fq2Adapter)
-        self.msm_h = MSM(pk.h_query, FqAdapter)
-        self.msm_l = MSM(pk.l_query, FqAdapter)
+        if mesh is not None:
+            from ..parallel.sharded import ShardedMSM
+
+            def make(points, adapter):
+                return ShardedMSM(points, adapter, mesh)
+        else:
+            make = MSM
+        self.msm_a = make(pk.a_query, FqAdapter)
+        self.msm_b1 = make(pk.b_g1_query, FqAdapter)
+        self.msm_b2 = make(pk.b_g2_query, Fq2Adapter)
+        self.msm_h = make(pk.h_query, FqAdapter)
+        self.msm_l = make(pk.l_query, FqAdapter)
 
     # -- witness evaluation --------------------------------------------------
+
+    def _batch_target(self, batch: int) -> int:
+        """Power-of-two batch size class, at least the mesh's dp degree."""
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        return _padded_batch(max(batch, dp))
 
     def full_assignments(self, named_inputs: Dict[str, Sequence[Sequence[int]]], batch: int):
         """Returns the Montgomery assignment (16, n_wires, B) on device.
         The batch axis is padded to a power-of-two size class (the padding
         lanes replicate lane 0); callers slice back down."""
         if self.evaluator is not None:
-            target = _padded_batch(batch)
+            target = self._batch_target(batch)
             if target != batch:
                 named_inputs = {
                     name: [list(col) + [col[0]] * (target - batch) for col in cols]
@@ -131,7 +149,7 @@ class Groth16Prover:
         from ..runtime.profiling import stage_timer
 
         batch = len(rs)
-        target = _padded_batch(batch)
+        target = self._batch_target(batch)
         if assignment.shape[2] < target:
             reps = jnp.repeat(
                 assignment[:, :, :1], target - assignment.shape[2], axis=2
@@ -198,7 +216,9 @@ class Groth16Prover:
         wire_mask = self._shifted_mask(mask)
         z = [1] + [0 if v is None else int(v) for v in partial_values]
         z_canon = np.repeat(
-            encode_canonical_fast(z).reshape(NUM_LIMBS, self.n_wires, 1), MIN_BATCH, axis=2
+            encode_canonical_fast(z).reshape(NUM_LIMBS, self.n_wires, 1),
+            self._batch_target(1),
+            axis=2,
         )
         m = wire_mask[:, None]
         a_pt = self.msm_a.to_affine_ints(self.msm_a(z_canon, mask=m))[0]
@@ -227,9 +247,10 @@ class Groth16Prover:
         wire_known = self._shifted_mask(partial.mask)
         # complement mask: unknown wires only; wire 0 was covered by partial
         m = (~wire_known)[:, None]
-        if assignment.shape[2] < MIN_BATCH:
+        fb = self._batch_target(1)
+        if assignment.shape[2] < fb:
             reps = jnp.repeat(
-                assignment[:, :, :1], MIN_BATCH - assignment.shape[2], axis=2
+                assignment[:, :, :1], fb - assignment.shape[2], axis=2
             )
             assignment = jnp.concatenate([assignment, reps], axis=2)
         h = self.mapper.witness_map(assignment)

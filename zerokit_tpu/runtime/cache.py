@@ -1,0 +1,47 @@
+"""Persistent XLA compilation cache, keyed by machine fingerprint.
+
+XLA:CPU AOT results embed the compile machine's feature set; loading an entry
+produced on a different host is rejected at best (with a full recompile) and
+can SIGILL at worst. A shared /tmp cache directory that survives across
+heterogeneous hosts therefore poisons cold starts. Keying the directory by a
+fingerprint of the CPU feature flags + JAX version makes every distinct
+machine class get its own cache while same-machine reruns stay warm.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def _fingerprint() -> str:
+    parts = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "model name")):
+                    parts.append(line.strip())
+                    if len(parts) >= 2:
+                        break
+    except OSError:
+        import platform
+
+        parts.append(platform.machine() + platform.processor())
+    try:
+        import jax
+
+        parts.append(jax.__version__)
+    except Exception:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def enable_persistent_cache(base: str = "/tmp/zerokit_tpu_xla_cache") -> str:
+    """Points jax at a machine-keyed persistent compilation cache dir."""
+    import jax
+
+    path = os.path.join(base, _fingerprint())
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
