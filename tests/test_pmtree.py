@@ -119,3 +119,39 @@ def test_proof_and_verify(tmp_path):
     assert t.verify(t.get(4), proof)
     assert proof.leaf_index() == 4
     t.close_db_connection()
+
+
+def test_compression_roundtrip(tmp_path):
+    from zerokit_tpu.tree.pmtree import MAGIC_Z, PmTree, PmTreeConfig
+
+    path = str(tmp_path / "ztree.db")
+    cfg = PmTreeConfig.create(path=path, temporary=False, use_compression=True)
+    t = PmTree(4, cfg)
+    for i in range(5):
+        t.set(i, 100 + i)
+    t.set_metadata(b"zipped")
+    t.flush()
+    root = t.root()
+    with open(path, "rb") as f:
+        assert f.read(len(MAGIC_Z)) == MAGIC_Z
+    cfg2 = PmTreeConfig.create(path=path, temporary=False, use_compression=True)
+    t2 = PmTree(4, cfg2)
+    assert t2.root() == root
+    assert t2.metadata() == b"zipped"
+    assert t2.get(3) == 103
+
+
+def test_cache_capacity_write_buffer_flush(tmp_path):
+    from zerokit_tpu.tree.pmtree import PmTree, PmTreeConfig
+
+    path = str(tmp_path / "cap.db")
+    # huge flush interval so only the write-buffer bound can trigger a flush
+    cfg = PmTreeConfig.create(
+        path=path, temporary=False, flush_every_ms=10_000_000, cache_capacity=120
+    )
+    t = PmTree(4, cfg)
+    t.set(0, 1)
+    t.set(1, 2)
+    assert not os.path.exists(path)  # 2 writes * 40B < 120B: buffered
+    t.set(2, 3)  # 3 * 40 >= 120 -> flushed
+    assert os.path.exists(path)

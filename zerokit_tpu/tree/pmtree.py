@@ -39,6 +39,8 @@ from .merkle import (
 )
 
 MAGIC = b"zktpu.pmtree.v1\n"
+MAGIC_Z = b"zktpu.pmtree.z1\n"  # zlib-compressed body (use_compression=true)
+_ENTRY_BYTES = 40  # 8-byte index + 32-byte leaf, for the write-buffer bound
 
 DEFAULT_TEMPORARY = True
 DEFAULT_CACHE_CAPACITY = 1073741824
@@ -134,6 +136,10 @@ class PmTree:
     def _load(self, depth: int) -> None:
         with open(self.config.path, "rb") as f:
             data = f.read()
+        if data.startswith(MAGIC_Z):
+            import zlib
+
+            data = MAGIC + zlib.decompress(data[len(MAGIC_Z) :])
         if not data.startswith(MAGIC):
             raise MerkleTreeError("not a pmtree snapshot file")
         off = len(MAGIC)
@@ -174,16 +180,28 @@ class PmTree:
         for idx, val in entries:
             payload += struct.pack("<Q", idx) + int(val).to_bytes(32, "little")
         payload += self._metadata
+        if self.config.use_compression:
+            import zlib
+
+            payload = MAGIC_Z + zlib.compress(payload[len(MAGIC) :], 6)
         tmp = self.config.path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, self.config.path)
         self._dirty = False
+        self._dirty_writes = 0
         self._last_flush = time.monotonic()
 
     def _maybe_flush(self) -> None:
+        """Durability pressure: flush when flush_every_ms has elapsed OR the
+        write buffer exceeds cache_capacity bytes (the role sled's page-cache
+        bound plays for its flusher; pm_tree_adapter.rs config keys)."""
         self._dirty = True
-        if (time.monotonic() - self._last_flush) * 1000.0 >= self.config.flush_every_ms:
+        self._dirty_writes = getattr(self, "_dirty_writes", 0) + 1
+        if (
+            (time.monotonic() - self._last_flush) * 1000.0 >= self.config.flush_every_ms
+            or self._dirty_writes * _ENTRY_BYTES >= self.config.cache_capacity
+        ):
             self.flush()
 
     def close_db_connection(self) -> None:
