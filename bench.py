@@ -141,10 +141,23 @@ def main():
         assignment = jnp.concatenate([assignment, reps], axis=2)
 
     # -- staged compile: QAP, then each MSM, with progress ------------------
-    t0 = time.time()
-    h = prover.mapper.witness_map(assignment)
-    h.block_until_ready()
-    log(f"qap witness_map warm in {time.time() - t0:.1f}s")
+    def warm(label, fn, attempts=3):
+        """One stage warmup; retries transient remote-compile/tunnel drops
+        (the compile result is cached server- or disk-side, so a retry
+        usually resumes instead of restarting)."""
+        for attempt in range(attempts):
+            t0 = time.time()
+            try:
+                out = fn()
+                log(f"{label} warm in {time.time() - t0:.1f}s")
+                return out
+            except Exception as e:
+                if attempt == attempts - 1:
+                    raise
+                log(f"{label} attempt {attempt + 1} failed ({type(e).__name__}: {e}); retrying")
+                time.sleep(5)
+
+    h = warm("qap witness_map", lambda: prover.mapper.witness_map(assignment).block_until_ready())
     z_canon = FrField.from_mont(assignment)
     h_canon = FrField.from_mont(h)
     aux = FrField.from_mont(assignment[:, prover.num_inputs :])
@@ -155,9 +168,7 @@ def main():
         ("msm_l", prover.msm_l, aux),
         ("msm_h", prover.msm_h, h_canon),
     ):
-        t0 = time.time()
-        msm.to_affine_ints(msm(arg))
-        log(f"{name} warm in {time.time() - t0:.1f}s")
+        warm(name, lambda msm=msm, arg=arg: msm.to_affine_ints(msm(arg)))
 
     # -- first measured batch (host witness eval + warm device pipeline) ----
     rs = list(range(1, batch + 1))
