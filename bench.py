@@ -201,18 +201,37 @@ def main():
             log(f"device witness eval failed ({type(e).__name__}: {e}); host path kept")
 
     # -- measured rounds ----------------------------------------------------
-    for r in range(rounds):
-        m = PipelineMetrics()
-        t0 = time.time()
-        if use_device_eval:
-            results = rln.generate_proofs(witnesses, rs, ss, metrics=m)
-        else:
-            a = host_assignments(rln, witnesses)
-            prover.prove_batch_with_assignment(a, rs, ss, metrics=m)
-        dt = time.time() - t0
-        pps = batch / dt
-        log(f"round {r + 1}/{rounds}: {dt:.2f}s -> {pps:.2f} proofs/s ({m.dumps()})")
-        emit(pps)
+    def measure(wits, label):
+        b = len(wits)
+        rs_, ss_ = list(range(1, b + 1)), list(range(101, 101 + b))
+        for r in range(rounds):
+            m = PipelineMetrics()
+            t0 = time.time()
+            if use_device_eval:
+                rln.generate_proofs(wits, rs_, ss_, metrics=m)
+            else:
+                a = host_assignments(rln, wits)
+                prover.prove_batch_with_assignment(a, rs_, ss_, metrics=m)
+            dt = time.time() - t0
+            pps = b / dt
+            log(f"{label} round {r + 1}/{rounds}: {dt:.2f}s -> {pps:.2f} proofs/s ({m.dumps()})")
+            emit(pps)
+
+    measure(witnesses, f"b{batch}")
+
+    # -- staged batch escalation: bigger batches amortize the MSM stages ----
+    # (compiles are per-size-class and land in the persistent cache, so the
+    # escalation costs one compile the first time and nothing after)
+    for esc in (64, 256):
+        if os.environ.get("BENCH_ESCALATE", "1") != "1" or esc <= batch:
+            continue
+        try:
+            wits = build_witnesses(esc, depth)
+            log(f"escalating to batch {esc}")
+            measure(wits, f"b{esc}")
+        except Exception as e:
+            log(f"batch {esc} escalation failed ({type(e).__name__}: {e})")
+            break
 
 
 if __name__ == "__main__":

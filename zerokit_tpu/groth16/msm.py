@@ -188,9 +188,10 @@ def _finish_body(cv, sum_q, s_total):
 
 
 def _double8_body(cv, proj):
-    for _ in range(C_BITS):
-        proj = cv.double(proj)
-    return proj
+    """8 EC doublings as a fori_loop: the double compiles ONCE instead of 8
+    unrolled copies (the unrolled form is the single slowest XLA:CPU compile
+    in the whole pipeline — LLVM chokes on the fused limb chains)."""
+    return jax.lax.fori_loop(0, C_BITS, lambda _, p: cv.double(p), proj)
 
 
 @functools.lru_cache(maxsize=None)
