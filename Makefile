@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: all native test test-fast bench warmup lint clean
+.PHONY: all native test test-fast bench warmup dryrun lint clean
 
 all: native
 
@@ -10,17 +10,25 @@ all: native
 native:
 	$(PY) -m zerokit_tpu.runtime.build
 
-# Hermetic CPU test suite (virtual 8-device mesh)
+# Hermetic CPU test suite (virtual 8-device mesh); the dryrun gate has its
+# own target below (it burns subprocess budgets by design)
 test:
-	$(PY) -m pytest tests/ -x -q
+	$(PY) -m pytest tests/ -x -q -m "not dryrun"
 
 # Skip the pairing/prover-heavy tests
 test-fast:
-	$(PY) -m pytest tests/ -x -q -m "not slow"
+	$(PY) -m pytest tests/ -x -q -m "not slow and not dryrun"
 
 # Precompile the TPU pipeline into the persistent XLA cache
 warmup:
 	$(PY) tools/warmup_tpu.py
+
+# The driver's multi-chip gate, under the wall-clock budget it must meet.
+# Validates the dry-run tier ladder (depth10 -> toy -> pico) completes on an
+# 8-device virtual CPU mesh within the budget on ANY host (incl. 2-core CI).
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+	  timeout 540 $(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 # Headline proofs/s benchmark (one JSON line)
 bench:

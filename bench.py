@@ -46,6 +46,9 @@ BEST = 0.0
 
 
 def emit(proofs_per_sec):
+    """Emits the running best (the driver keeps the LAST line) alongside the
+    round's own measurement, so the published number stays traceable to a
+    single measured configuration and later regressions remain visible."""
     global BEST
     BEST = max(BEST, proofs_per_sec)
     print(
@@ -55,6 +58,7 @@ def emit(proofs_per_sec):
                 "value": round(BEST, 3),
                 "unit": "proofs/s",
                 "vs_baseline": round(BEST / 62.5, 4),
+                "round_value": round(proofs_per_sec, 3),
             }
         ),
         flush=True,

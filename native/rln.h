@@ -84,7 +84,6 @@ int rln_flush(uint64_t handle);
 /* witness: v2 wire bytes (LE when be=0); out: V3 proof wire bytes. */
 int rln_generate_proof(uint64_t handle, const uint8_t *witness,
                        size_t witness_len, int be, rln_buffer *out);
-/* Groth16 pairing check only. *ok = 1 valid / 0 invalid. */
 /* Proves from an externally-computed witness vector (the browser/wasm flow;
    reference public.rs generate_rln_proof_with_witness). `calculated` is
    n_wires concatenated 32-byte little-endian field elements; `witness` is
@@ -92,6 +91,7 @@ int rln_generate_proof(uint64_t handle, const uint8_t *witness,
 int rln_prove_with_witness(uint64_t handle, const uint8_t *calculated,
                            size_t calculated_len, const uint8_t *witness,
                            size_t witness_len, int be, rln_buffer *out);
+/* Groth16 pairing check only. *ok = 1 valid / 0 invalid. */
 int rln_verify(uint64_t handle, const uint8_t *proof, size_t proof_len,
                int *ok);
 /* Pairing + current-root + signal checks (public.rs:725-745). */

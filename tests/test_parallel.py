@@ -124,3 +124,23 @@ def test_mesh_prover_full_proof_parity():
     assert sharded == single
     pvk = prepare_verifying_key(zkey.pk.vk)
     assert verify_proof(pvk, single[0], [rows[0][1]])
+
+
+@pytest.mark.slow
+def test_msm_lane_batch_chunking_parity():
+    """Batches above LANE_BATCH stream through the fixed-shape compiled
+    programs in chunks (incl. a ragged tail) and must agree lane-for-lane
+    with host MSMs. Small windows keep the compile cheap: scalars < 2^16."""
+    rnd = random.Random(13)
+    n, B = 16, 40  # 40 = 2 full chunks of 16 + ragged 8
+    points = [bn254.G1.mul(bn254.G1_GENERATOR, rnd.randrange(R)) for _ in range(n)]
+    scalars = [[rnd.randrange(1 << 16) for _ in range(B)] for _ in range(n)]
+    msm = MSM(points, FqAdapter, n_windows=4, c_bits=4)
+    assert msm.lane_batch == 16
+    sc = encode_canonical_fast(
+        [scalars[i][b] for i in range(n) for b in range(B)]
+    ).reshape(16, n, B)
+    res = msm.to_affine_ints(msm(sc))
+    assert len(res) == B
+    for b in range(0, B, 7):
+        assert res[b] == bn254.G1.msm(points, [scalars[i][b] for i in range(n)])

@@ -196,6 +196,14 @@ class RLN:
         for w in witnesses:
             w.validate_against_graph(self.graph)
         values = [proof_values_from_witness(w) for w in witnesses]
+        if rs is not None and len(rs) != len(witnesses):
+            raise errors.ZerokitError(
+                f"rs has {len(rs)} entries, expected {len(witnesses)}"
+            )
+        if ss is not None and len(ss) != len(witnesses):
+            raise errors.ZerokitError(
+                f"ss has {len(ss)} entries, expected {len(witnesses)}"
+            )
         if rs is None:
             rs = [secrets.randbelow(R) for _ in witnesses]
         if ss is None:
@@ -238,7 +246,15 @@ class RLN:
                 raise errors.ZerokitError(
                     f"calculated witness has {len(cw)} wires, expected {n_wires}"
                 )
+        # same witness-shape validation as the internal path (reference
+        # public.rs generate_rln_proof_with_witness validates the inputs too)
+        for w in witnesses:
+            w.validate_against_graph(self.graph)
         values = [proof_values_from_witness(w) for w in witnesses]
+        if rs is not None and len(rs) != batch:
+            raise errors.ZerokitError(f"rs has {len(rs)} entries, expected {batch}")
+        if ss is not None and len(ss) != batch:
+            raise errors.ZerokitError(f"ss has {len(ss)} entries, expected {batch}")
         if rs is None:
             rs = [secrets.randbelow(R) for _ in witnesses]
         if ss is None:

@@ -165,7 +165,15 @@ def calc_witness(inputs: Dict[str, Sequence[int]], graph: g.Graph) -> List[int]:
             values.append(eval_duo(node.op, values[node.a], values[node.b]))
         else:
             values.append(eval_tres(node.op, values[node.a], values[node.b], values[node.c]))
-    return [values[s] for s in graph.signals]
+    out = [values[s] for s in graph.signals]
+    # Zeroize the populated input buffer (identity-secret copies included)
+    # once evaluation is done — reference iden3calc.rs:44-57 scrubs the same
+    # buffer. Python ints are immutable so this drops references promptly
+    # rather than overwriting memory; the bulk scrub-able copies live in the
+    # device-path numpy buffers (witness_eval / prover.full_assignments).
+    for i in range(len(buffer)):
+        buffer[i] = 0
+    return out
 
 
 def calc_witness_partial(

@@ -62,6 +62,14 @@ N_WINDOWS = 32  # 256 bits / 8
 MAX_CGB = 1024
 K_BLOCK = 32  # intra-block scan length (n is padded to a multiple)
 PAD_GRANULARITY = 4096  # base sets pad up so equal-size MSMs share a compile
+# Max lanes per pipeline pass: larger batches stream through the SAME
+# compiled programs in LANE_BATCH-sized chunks. Without this, every batch
+# size class shrank the window group -> new program shapes -> a fresh
+# multi-minute compile storm per class AND ~13 GB fine-prefix intermediates
+# at B=64 (the round-2 b64 bench regressed 30x per proof for exactly these
+# two reasons). Chunking pins both compile shapes and peak memory to the
+# B=16 class.
+LANE_BATCH = 16
 
 
 def encode_affine_points(points, adapter) -> np.ndarray:
@@ -117,15 +125,15 @@ def _sort_gather_body(adapter, tables_aos, digits, n):
     return rows.T.reshape(NUM_LIMBS, adapter.components, 2, gw, n, batch)
 
 
-def _counts_body(digits):
-    """digits (G,n,B) -> counts (G,255,B) int32 with counts[d] = #(digit <= d)."""
+def _counts_body(digits, n_buckets: int = N_BUCKETS):
+    """digits (G,n,B) -> counts (G,nb-1,B) int32 with counts[d] = #(digit <= d)."""
     gw, n, batch = digits.shape
     d32 = digits.astype(jnp.int32)
     g_idx = jnp.broadcast_to(jnp.arange(gw, dtype=jnp.int32)[:, None, None], d32.shape)
     b_idx = jnp.broadcast_to(jnp.arange(batch, dtype=jnp.int32)[None, None, :], d32.shape)
-    hist = jnp.zeros((gw, N_BUCKETS, batch), dtype=jnp.int32)
+    hist = jnp.zeros((gw, n_buckets, batch), dtype=jnp.int32)
     hist = hist.at[g_idx, d32, b_idx].add(1)
-    return jnp.cumsum(hist, axis=1)[:, : N_BUCKETS - 1]
+    return jnp.cumsum(hist, axis=1)[:, : n_buckets - 1]
 
 
 def _mixed_step_body(cv, prev, blocks, j):
@@ -152,46 +160,50 @@ def _excl_shift_body(cv, arr, axis):
     return jnp.where(pos == 0, cv.identity_like(arr), sval)
 
 
-def _qgather_body(cv, fine_flat, coarse_excl, counts, k, n):
+def _qgather_body(cv, fine_flat, coarse_excl, counts, k, n, n_buckets: int = N_BUCKETS):
     """Q_d gather: Q_d = inclusive prefix at C(d)-1 (identity when C(d)=0).
 
     fine_flat: (16,C,3,G,n,B) intra-block inclusive prefixes;
-    coarse_excl: (16,C,3,G,n/k,B); counts: (G,255,B).
-    Returns (q (16,C,3,G,256,B), s_total (16,C,3,G,B)); q[..., 255, :] is
-    masked to the identity so a plain scan over the 256 axis yields
-    sum_{d=0..254} Q_d, and s_total is the full prefix at n-1.
+    coarse_excl: (16,C,3,G,n/k,B); counts: (G,nb-1,B).
+    Returns (q (16,C,3,G,nb,B), s_total (16,C,3,G,B)); q[..., nb-1, :] is
+    masked to the identity so a plain scan over the nb axis yields
+    sum_{d=0..nb-2} Q_d, and s_total is the full prefix at n-1.
     """
     gw, _, batch = counts.shape
     total_col = jnp.full((gw, 1, batch), n, dtype=jnp.int32)
-    c_all = jnp.concatenate([counts, total_col], axis=1)  # (G,256,B)
+    c_all = jnp.concatenate([counts, total_col], axis=1)  # (G,nb,B)
     idx = jnp.maximum(c_all - 1, 0)
     shape = fine_flat.shape[:4] + idx.shape[1:]
     idx_b = jnp.broadcast_to(idx[None, None, None], shape)
-    f = jnp.take_along_axis(fine_flat, idx_b, axis=4)  # (16,C,3,G,256,B)
+    f = jnp.take_along_axis(fine_flat, idx_b, axis=4)  # (16,C,3,G,nb,B)
     blk_b = jnp.broadcast_to((idx // k)[None, None, None], shape)
     cq = jnp.take_along_axis(coarse_excl, blk_b, axis=4)
     q = cv.add(f, cq)
     ident = cv.identity_like(q)
     q = jnp.where((c_all == 0)[None, None, None], ident, q)
-    s_total = q[:, :, :, :, N_BUCKETS - 1]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, N_BUCKETS, 1), 4)
-    return jnp.where(pos == N_BUCKETS - 1, ident, q), s_total
+    s_total = q[:, :, :, :, n_buckets - 1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, n_buckets, 1), 4)
+    return jnp.where(pos == n_buckets - 1, ident, q), s_total
 
 
-def _finish_body(cv, sum_q, s_total):
-    """Window telescope: 255*S_total - sum_{d=0..254} Q_d (8 doublings)."""
-    t = s_total
-    for _ in range(8):
-        t = cv.double(t)  # 256 * S
-    t = cv.add(t, cv.neg(s_total))  # 255 * S
-    return cv.add(t, cv.neg(sum_q))
+def _finish_body(cv, sum_q, s_total, c_bits: int = C_BITS):
+    """Window telescope: (2^c-1)*S_total - sum_{d=0..2^c-2} Q_d (c doublings).
+
+    The doublings run as a fori_loop and the two subtractions as a length-2
+    scan so double and add each compile ONCE — the fully unrolled form alone
+    took ~160s of XLA:CPU compile on a 2-core host (the dry-run
+    environment)."""
+    t = jax.lax.fori_loop(0, c_bits, lambda _, p: cv.double(p), s_total)  # 2^c*S
+    terms = jnp.stack([cv.neg(s_total), cv.neg(sum_q)])
+    t, _ = jax.lax.scan(lambda acc, x: (cv.add(acc, x), None), t, terms)
+    return t
 
 
-def _double8_body(cv, proj):
-    """8 EC doublings as a fori_loop: the double compiles ONCE instead of 8
-    unrolled copies (the unrolled form is the single slowest XLA:CPU compile
-    in the whole pipeline — LLVM chokes on the fused limb chains)."""
-    return jax.lax.fori_loop(0, C_BITS, lambda _, p: cv.double(p), proj)
+def _double8_body(cv, proj, c_bits: int = C_BITS):
+    """c_bits EC doublings as a fori_loop: the double compiles ONCE instead
+    of unrolled copies (the unrolled form is the single slowest XLA:CPU
+    compile in the whole pipeline — LLVM chokes on the fused limb chains)."""
+    return jax.lax.fori_loop(0, c_bits, lambda _, p: cv.double(p), proj)
 
 
 @functools.lru_cache(maxsize=None)
@@ -215,7 +227,7 @@ def _prims(adapter):
         "sort": builder(
             lambda n: lambda t, d: _sort_gather_body(adapter, t, d, n)[None]
         ),
-        "counts": jax.jit(_squeezed(lambda d: _counts_body(d)[None])),
+        "counts": builder(lambda nb: lambda d: _counts_body(d, nb)[None]),
         "promote": jax.jit(_squeezed(lambda aff: cv.from_affine(aff)[None])),
         "mixed_step": jax.jit(
             lambda prev, blocks, j: _mixed_step_body(cv, prev[0], blocks[0], j)[None]
@@ -227,14 +239,14 @@ def _prims(adapter):
             lambda axis: lambda arr: _excl_shift_body(cv, arr, axis)[None]
         ),
         "qgather": builder(
-            lambda k, n: lambda fine, coarse, counts: tuple(
-                x[None] for x in _qgather_body(cv, fine, coarse, counts, k, n)
+            lambda k, n, nb: lambda fine, coarse, counts: tuple(
+                x[None] for x in _qgather_body(cv, fine, coarse, counts, k, n, nb)
             )
         ),
-        "finish": jax.jit(
-            lambda sum_q, s_total: _finish_body(cv, sum_q[0], s_total[0])[None]
+        "finish": builder(
+            lambda cb: lambda sum_q, s_total: _finish_body(cv, sum_q, s_total, cb)[None]
         ),
-        "double8": jax.jit(_squeezed(lambda p: _double8_body(cv, p)[None])),
+        "doublek": builder(lambda cb: lambda p: _double8_body(cv, p, cb)[None]),
         "to_affine": jax.jit(_squeezed(lambda p: cv.to_affine(p)[None])),
         "shard_reduce": jax.jit(lambda w: w[0]),  # S = 1: nothing to combine
     }
@@ -252,13 +264,24 @@ def _hs_scan_eager(prims, arr, axis_sq: int):
     return arr
 
 
-def digits_for_windows(scalars_s: jnp.ndarray) -> jnp.ndarray:
-    """scalars (S, 16, n, B) canonical -> digits (S, W, n, B) uint32."""
+def digits_for_windows(
+    scalars_s: jnp.ndarray, n_windows: int = N_WINDOWS, c_bits: int = C_BITS
+) -> jnp.ndarray:
+    """scalars (S, 16, n, B) canonical -> digits (S, W, n, B) uint32.
+
+    (n_windows, c_bits) below the (32, 8) default covers scalars under
+    2^(c_bits*n_windows) — used by the dry-run tiers, whose toy scalars are
+    tiny, to shrink the table build (W-1 sequenced doublek calls), the
+    bucket-scan length (2^c_bits) and the pipeline footprint. c_bits must
+    divide 16 (digits may not straddle limbs)."""
+    assert 16 % c_bits == 0
+    per_limb = 16 // c_bits
+    mask = np.uint32((1 << c_bits) - 1)
     rows = []
-    for w in range(N_WINDOWS):
-        limb = scalars_s[:, w // 2]
-        shift = (w % 2) * 8
-        rows.append((limb >> shift) & np.uint32(0xFF))
+    for w in range(n_windows):
+        limb = scalars_s[:, w // per_limb]
+        shift = (w % per_limb) * c_bits
+        rows.append((limb >> shift) & mask)
     return jnp.stack(rows, axis=1)
 
 
@@ -272,21 +295,24 @@ def tables_to_aos_s(adapter, tables: jnp.ndarray) -> jnp.ndarray:
     return t.reshape(s, w * n, NUM_LIMBS * adapter.components * 2)
 
 
-def build_window_tables(prims, points_s: jnp.ndarray) -> jnp.ndarray:
+def build_window_tables(
+    prims, points_s: jnp.ndarray, n_windows: int = N_WINDOWS, c_bits: int = C_BITS
+) -> jnp.ndarray:
     """points (S, 16, C, 2, n) affine -> tables (S, 16, C, 2, W, n) with
-    tables[..., w, i] = 2^(8w) * P_i. Eagerly sequenced doublings over one
-    compiled 8-double program."""
+    tables[..., w, i] = 2^(c_bits*w) * P_i. Eagerly sequenced doublings over
+    one compiled c_bits-double program."""
     proj = prims["promote"](points_s)  # (S, 16, C, 3, n)
+    doublek = prims["doublek"](c_bits)
     cols = [proj]
-    for _ in range(1, N_WINDOWS):
-        proj = prims["double8"](proj)
+    for _ in range(1, n_windows):
+        proj = doublek(proj)
         cols.append(proj)
     stacked = jnp.stack(cols, axis=4)  # (S, 16, C, 3, W, n)
     return prims["to_affine"](stacked)  # (S, 16, C, 2, W, n); inf -> (0, 0)
 
 
-def _window_group(batch: int, components: int) -> int:
-    g = 32
+def _window_group(batch: int, components: int, n_windows: int = N_WINDOWS) -> int:
+    g = min(32, n_windows)
     while g > 2 and g * batch * components > MAX_CGB:
         g //= 2
     return g
@@ -296,7 +322,9 @@ def block_size_for(n: int) -> int:
     return K_BLOCK if n % K_BLOCK == 0 else n  # small test MSMs: one block
 
 
-def msm_pipeline(prims, tables_aos, digits_all, n: int, group: int) -> jnp.ndarray:
+def msm_pipeline(
+    prims, tables_aos, digits_all, n: int, group: int, c_bits: int = C_BITS
+) -> jnp.ndarray:
     """Windowed bucket pipeline over S-leading arrays.
 
     tables_aos: (S, W*n, rowK) AoS rows; digits_all: (S, W, n, B).
@@ -304,17 +332,20 @@ def msm_pipeline(prims, tables_aos, digits_all, n: int, group: int) -> jnp.ndarr
     provider's shard_reduce: (16, C, 3, B).
     """
     s_dim, w_dim, _, batch = digits_all.shape
+    n_buckets = 1 << c_bits
     k = block_size_for(n)
-    assert N_WINDOWS % group == 0
-    n_groups = N_WINDOWS // group
+    assert w_dim % group == 0
+    n_groups = w_dim // group
     tables_g = tables_aos.reshape(s_dim, n_groups, group * n, tables_aos.shape[2])
     sort = prims["sort"](n)
-    qgather = prims["qgather"](k, n)
+    qgather = prims["qgather"](k, n, n_buckets)
+    counts_fn = prims["counts"](n_buckets)
+    finish = prims["finish"](c_bits)
     sums = []
     for g in range(n_groups):
         dg = digits_all[:, g * group : (g + 1) * group]  # (S, G, n, B)
         aff = sort(tables_g[:, g], dg)  # (S,16,C,2,G,n,B)
-        counts = prims["counts"](dg)
+        counts = counts_fn(dg)
         # intra-block inclusive prefixes: K-1 eager steps of one program
         sh = aff.shape
         blocks = aff.reshape(sh[:5] + (n // k, k, batch))
@@ -331,22 +362,25 @@ def msm_pipeline(prims, tables_aos, digits_all, n: int, group: int) -> jnp.ndarr
         coarse = prims["excl_shift"](4)(coarse)
         q, s_total = qgather(fine, coarse, counts)
         sum_q = _hs_scan_eager(prims, q, 4)[:, :, :, :, :, -1]
-        sums.append(prims["finish"](sum_q, s_total))
+        sums.append(finish(sum_q, s_total))
     all_windows = jnp.concatenate(sums, axis=4)  # (S, 16, C, 3, W, B)
     win = _hs_scan_eager(prims, all_windows, 3)[:, :, :, :, -1]  # (S,16,C,3,B)
     return prims["shard_reduce"](win)
 
 
-def msm_accumulate(adapter, points, scalars):
+def msm_accumulate(
+    adapter, points, scalars, n_windows: int = N_WINDOWS, c_bits: int = C_BITS
+):
     """One-shot MSM from affine points (16,C,2,n) + scalars (16,n,B); tables
     built on the fly. For repeated MSMs over the same bases use the MSM
-    class, which caches the window tables."""
+    class, which caches the window tables. (n_windows, c_bits) below the
+    default requires every scalar < 2^(c_bits*n_windows)."""
     prims = _prims(adapter)
-    tables = build_window_tables(prims, points[None])
+    tables = build_window_tables(prims, points[None], n_windows, c_bits)
     aos = tables_to_aos_s(adapter, tables)
-    digits = digits_for_windows(scalars[None])
-    group = _window_group(scalars.shape[2], adapter.components)
-    return msm_pipeline(prims, aos, digits, points.shape[3], group)
+    digits = digits_for_windows(scalars[None], n_windows, c_bits)
+    group = _window_group(scalars.shape[2], adapter.components, n_windows)
+    return msm_pipeline(prims, aos, digits, points.shape[3], group, c_bits)
 
 
 class MSM:
@@ -357,11 +391,14 @@ class MSM:
     all compile to the same program shapes — compilation is cached per shape.
     """
 
-    def __init__(self, points, adapter):
+    def __init__(self, points, adapter, n_windows: int = N_WINDOWS, c_bits: int = C_BITS):
         """points: list of affine points as ints (G1: (x, y); G2:
         ((x0,x1),(y0,y1))). None encodes the point at infinity."""
         self.adapter = adapter
         self.curve = CurveOps(adapter)
+        self.n_windows = n_windows
+        self.c_bits = c_bits
+        self.lane_batch = LANE_BATCH
         self.n_real = len(points)
         pad_to = max(
             PAD_GRANULARITY,
@@ -378,7 +415,9 @@ class MSM:
     def tables(self) -> jnp.ndarray:
         """AoS window-table rows (1, W*n, 16*C*2) — the gather-friendly layout."""
         if self._tables is None:
-            t = build_window_tables(self._prim_fns, self.points[None])
+            t = build_window_tables(
+                self._prim_fns, self.points[None], self.n_windows, self.c_bits
+            )
             self._tables = tables_to_aos_s(self.adapter, t)
         return self._tables
 
@@ -400,9 +439,29 @@ class MSM:
                 (NUM_LIMBS, self.n - self.n_real, scalars.shape[2]), dtype=U32
             )
             scalars = jnp.concatenate([scalars, pad], axis=1)
-        digits = digits_for_windows(scalars[None])
-        group = _window_group(scalars.shape[2], self.adapter.components)
-        return msm_pipeline(self._prim_fns, self.tables(), digits, self.n, group)
+        batch = scalars.shape[2]
+        b0 = self.lane_batch
+        if batch <= b0:
+            return self._pipeline_pass(scalars)
+        # stream big batches through the B<=LANE_BATCH compiled programs
+        chunks = []
+        for lo in range(0, batch, b0):
+            hi = min(lo + b0, batch)
+            piece = scalars[:, :, lo:hi]
+            if hi - lo < b0:  # ragged tail: pad lanes, slice the result
+                reps = jnp.repeat(piece[:, :, :1], b0 - (hi - lo), axis=2)
+                piece = jnp.concatenate([piece, reps], axis=2)
+                chunks.append(self._pipeline_pass(piece)[:, :, :, : hi - lo])
+            else:
+                chunks.append(self._pipeline_pass(piece))
+        return jnp.concatenate(chunks, axis=3)
+
+    def _pipeline_pass(self, scalars: jnp.ndarray) -> jnp.ndarray:
+        digits = digits_for_windows(scalars[None], self.n_windows, self.c_bits)
+        group = _window_group(scalars.shape[2], self.adapter.components, self.n_windows)
+        return msm_pipeline(
+            self._prim_fns, self.tables(), digits, self.n, group, self.c_bits
+        )
 
     def to_affine_ints(self, acc):
         """Projective accumulators -> list of host affine points (None = inf)."""

@@ -119,7 +119,13 @@ class Groth16Prover:
                     for name, cols in named_inputs.items()
                 }
             buf = self.evaluator.build_input_buffer(named_inputs, target)
-            return self.evaluator.evaluate_mont(buf)
+            out = self.evaluator.evaluate_mont(buf)
+            # scrub the host-side input buffer (it holds identity-secret
+            # limbs) once the device owns its copy — reference semantics:
+            # iden3calc.rs:44-57 zeroizes the witness input buffer
+            out.block_until_ready()
+            buf.fill(0)
+            return out
         cols = []
         for b in range(batch):
             single = {k: [col[b] for col in v] for k, v in named_inputs.items()}

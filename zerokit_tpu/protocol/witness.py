@@ -29,6 +29,20 @@ def _validate_common(user_message_limit, path_elements, identity_path_index):
         )
 
 
+def _secret_to_int(identity_secret) -> int:
+    """Accepts a raw int or an IdSecret (reference FrOrSecret, utils.rs:440+).
+
+    Converting to a Python int is the documented leak point (like the
+    reference's IdSecret::to_u256); callers holding an IdSecret keep their
+    zeroizable copy and may scrub the witness with .zeroize() after proving.
+    """
+    from .identity import IdSecret
+
+    if isinstance(identity_secret, IdSecret):
+        return identity_secret.to_int()
+    return int(identity_secret)
+
+
 @dataclass
 class RLNWitnessInput:
     """Single- or multi-message-id witness. Use new_single / new_multi."""
@@ -56,10 +70,16 @@ class RLNWitnessInput:
     def max_out(self) -> int:
         return 1 if self.is_single else len(self.message_ids)
 
+    def zeroize(self) -> None:
+        """Best-effort scrub: drops the witness's secret reference. (Python
+        ints are immutable; the scrubbable copies are the device-path numpy
+        buffers, which the prover zeroizes — see prover.full_assignments.)"""
+        object.__setattr__(self, "identity_secret", 0)
+
     @classmethod
     def new_single(
         cls,
-        identity_secret: int,
+        identity_secret,
         user_message_limit: int,
         message_id: int,
         path_elements: Sequence[int],
@@ -67,6 +87,7 @@ class RLNWitnessInput:
         x: int,
         external_nullifier: int,
     ) -> "RLNWitnessInput":
+        identity_secret = _secret_to_int(identity_secret)
         _validate_common(user_message_limit, path_elements, identity_path_index)
         if message_id % R >= user_message_limit % R:
             raise errors.InvalidMessageId(
@@ -85,7 +106,7 @@ class RLNWitnessInput:
     @classmethod
     def new_multi(
         cls,
-        identity_secret: int,
+        identity_secret,
         user_message_limit: int,
         message_ids: Sequence[int],
         path_elements: Sequence[int],
@@ -94,6 +115,7 @@ class RLNWitnessInput:
         external_nullifier: int,
         selector_used: Sequence[bool],
     ) -> "RLNWitnessInput":
+        identity_secret = _secret_to_int(identity_secret)
         _validate_common(user_message_limit, path_elements, identity_path_index)
         if len(message_ids) == 0:
             raise errors.EmptyMessageIds("message_ids must be non-empty")
@@ -175,11 +197,12 @@ class RLNPartialWitnessInput:
     @classmethod
     def new(
         cls,
-        identity_secret: int,
+        identity_secret,
         user_message_limit: int,
         path_elements: Sequence[int],
         identity_path_index: Sequence[int],
     ) -> "RLNPartialWitnessInput":
+        identity_secret = _secret_to_int(identity_secret)
         _validate_common(user_message_limit, path_elements, identity_path_index)
         return cls(
             identity_secret=identity_secret % R,

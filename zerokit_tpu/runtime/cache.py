@@ -43,5 +43,14 @@ def enable_persistent_cache(base: str = "/tmp/zerokit_tpu_xla_cache") -> str:
     path = os.path.join(base, _fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist EVERY compile: on the tunneled TPU backend even a trivial
+    # reshape/squeeze compile is a ~0.5s remote roundtrip, and the prover's
+    # eager orchestration issues hundreds of them — with the default 1s
+    # threshold none were cached and every cold start re-paid minutes of
+    # sub-second compiles.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
     return path
