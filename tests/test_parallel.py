@@ -144,3 +144,51 @@ def test_msm_lane_batch_chunking_parity():
     assert len(res) == B
     for b in range(0, B, 7):
         assert res[b] == bn254.G1.msm(points, [scalars[i][b] for i in range(n)])
+
+
+@pytest.mark.slow
+def test_sharded_witness_map_parity():
+    """Full QAP witness map with the domain axis sharded over "tp" (Bailey
+    NTT lifts, parallel/ntt_sharded.py) and the batch over "dp" must be
+    bit-identical to the single-device map. Reference semantics:
+    rln/src/circuit/qap.rs:30-98 (single-core there; the sharding is the
+    SURVEY §2d sequence-parallel analog)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zerokit_tpu.circuit.zkey import ConstraintMatrices
+    from zerokit_tpu.ff.field import FrField
+    from zerokit_tpu.groth16.qap import WitnessMapper
+
+    rnd = random.Random(21)
+    n_wires, n_constraints, n_pub = 10, 12, 2
+
+    def rows():
+        return [
+            [(rnd.randrange(R), rnd.randrange(n_wires)) for _ in range(2)]
+            for _ in range(n_constraints)
+        ]
+
+    matrices = ConstraintMatrices(
+        num_instance_variables=n_pub,
+        num_witness_variables=n_wires - n_pub,
+        num_constraints=n_constraints,
+        a_num_non_zero=2 * n_constraints,
+        b_num_non_zero=2 * n_constraints,
+        c_num_non_zero=2 * n_constraints,
+        a=rows(), b=rows(), c=rows(),
+    )
+    B = 4
+    vals = [rnd.randrange(R) for _ in range(n_wires * B)]
+    assign = FrField.to_mont(
+        jnp.asarray(encode_canonical_fast(vals).reshape(16, n_wires, B))
+    )
+    single = np.asarray(WitnessMapper(matrices).witness_map(assign))
+
+    mesh = make_mesh(tp=4, dp=2)
+    mapper = WitnessMapper(matrices, mesh=mesh)
+    assert mapper.mesh is not None, "mesh rejected despite compatible domain"
+    with mesh:
+        sharded_in = jax.device_put(assign, NamedSharding(mesh, P(None, None, "dp")))
+        sharded = np.asarray(mapper.witness_map(sharded_in))
+    assert np.array_equal(single, sharded)

@@ -43,6 +43,7 @@ accumulators cross chips.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -204,6 +205,15 @@ def _double8_body(cv, proj, c_bits: int = C_BITS):
     of unrolled copies (the unrolled form is the single slowest XLA:CPU
     compile in the whole pipeline — LLVM chokes on the fused limb chains)."""
     return jax.lax.fori_loop(0, c_bits, lambda _, p: cv.double(p), proj)
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_to_affine(adapter):
+    """One compiled to_affine per adapter: its batched-inversion scan is the
+    single most expensive compile in the stack (~200s on the remote TPU
+    compiler); a per-MSM-instance jit paid it five times per process."""
+    cv = best_curve_ops(adapter)
+    return jax.jit(cv.to_affine)
 
 
 @functools.lru_cache(maxsize=None)
@@ -410,7 +420,20 @@ class MSM:
         self.points = jnp.asarray(encode_affine_points(points, adapter))
         self._prim_fns = _prims(adapter)
         self._tables = None
-        self._finish_fn = jax.jit(self.curve.to_affine)
+        self._finish_fn = _shared_to_affine(adapter)
+        # the single-program MSM pass (msm_fused.py) needs the Pallas group
+        # laws and a TPU-friendly compiler; the eager pipeline stays the
+        # default on CPU (XLA:CPU compile economy — see module docstring)
+        from . import msm_fused
+
+        # G1 only: the G2 (Fq2) monolith crashes the remote TPU compiler
+        # (HTTP 500 from tpu_compile_helper); G2 keeps the eager pipeline.
+        self._fused = (
+            msm_fused.available()
+            and os.environ.get("ZK_FUSED_MSM", "1") == "1"
+            and self.n & (self.n - 1) == 0
+            and adapter.components == 1
+        )
 
     def tables(self) -> jnp.ndarray:
         """AoS window-table rows (1, W*n, 16*C*2) — the gather-friendly layout."""
@@ -457,6 +480,19 @@ class MSM:
         return jnp.concatenate(chunks, axis=3)
 
     def _pipeline_pass(self, scalars: jnp.ndarray) -> jnp.ndarray:
+        if self._fused:
+            from .msm_fused import fused_msm_pass
+
+            try:
+                return fused_msm_pass(
+                    self.adapter, self.tables(), scalars, self.n,
+                    self.n_windows, self.c_bits,
+                )
+            except Exception as e:  # remote-compiler rejection: eager fallback
+                import warnings
+
+                warnings.warn(f"fused MSM unavailable ({type(e).__name__}); eager path")
+                self._fused = False
         digits = digits_for_windows(scalars[None], self.n_windows, self.c_bits)
         group = _window_group(scalars.shape[2], self.adapter.components, self.n_windows)
         return msm_pipeline(

@@ -1,0 +1,194 @@
+"""Single-program batched Pippenger MSM for TPU.
+
+Same algorithm as the eager pipeline in groth16/msm.py (sorted digits, two
+level block prefix sums, bucket telescope) but traced into ONE jitted
+program per (base-set, batch) shape class. Motivation, measured on the real
+chip (v5e via the tunneled backend):
+
+  * the eager orchestration dispatches ~60 programs + hundreds of eager ops
+    per MSM; profiler traces show ~30% of device time in copies/reshapes
+    between programs and large host-side gaps — one program removes both;
+  * the bucket-side Hillis-Steele scans do 8x the lane-adds of a sequential
+    scan to win dispatch depth that costs nothing INSIDE a compiled program
+    (a lax.scan step is a cheap on-device loop iteration, not a host
+    dispatch): q-sum and coarse prefixes here run as narrow sequential
+    scans — 1.05M lane-adds drop to 0.13M per window group;
+  * sort runs as a single-array sort of packed (digit << log2(n)) | index
+    keys (stability for free: equal digits order by index), not a
+    key/value argsort;
+  * the EC group laws are the same Pallas kernels (ff/pallas_field.py),
+    called inside lax.scan bodies so each compiles once.
+
+The eager path stays the default off-TPU: this monolith is hostile to the
+XLA:CPU compiler (every EC body costs ~1 min of LLVM there — see
+groth16/msm.py compile-economy notes), while on TPU the remote compiler
+handles the scan-structured program in one shot and the result lands in the
+persistent cache.
+
+Reference semantics: ark-ec VariableBaseMSM (rln/src/partial_proof.rs:98-104
+and ark-groth16's internal MSMs) — parity is asserted against the host
+big-int MSM in tools/ and by end-to-end proof verification in bench.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ff.field import NUM_LIMBS
+from .curve import best_curve_ops
+from .msm import C_BITS, N_WINDOWS, _window_group, block_size_for
+
+
+def available() -> bool:
+    from ..ff import pallas_field as pf
+
+    return pf.available()
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int):
+    """Returns jit(run)(tables_flat (W*n, rowK), scalars (16, n, B)) ->
+    projective accumulators (16, C, 3, B)."""
+    cv = best_curve_ops(adapter)
+    comps = adapter.components
+    n_buckets = 1 << c_bits
+    k = block_size_for(n)
+    assert n_windows % group == 0
+    n_groups = n_windows // group
+    assert n & (n - 1) == 0, "fused MSM requires power-of-two base size"
+    idx_bits = n.bit_length() - 1
+    per_limb = 16 // c_bits
+    mask = np.uint32(n_buckets - 1)
+
+    def digits_of(scalars):
+        rows = []
+        for w in range(n_windows):
+            limb = scalars[w // per_limb]
+            rows.append((limb >> ((w % per_limb) * c_bits)) & mask)
+        return jnp.stack(rows, axis=0)  # (W, n, B)
+
+    def tree_sum(xs, axis):
+        """EC sum along a trailing batch axis via halving rounds: log2(L)
+        WIDE kernel calls (narrow sequential scans pay a fixed per-step
+        plumbing cost that dominates at <1k lanes — measured ~0.5 ms/step).
+        The axis must sit after the (16, C, 3) point dims."""
+        d = xs.shape[axis]
+        while d > 1:
+            half = d // 2
+            a = jax.lax.slice_in_dim(xs, 0, half, axis=axis)
+            b = jax.lax.slice_in_dim(xs, half, 2 * half, axis=axis)
+            combined = cv.add(a, b)
+            if d % 2:
+                rem = jax.lax.slice_in_dim(xs, 2 * half, d, axis=axis)
+                combined = jnp.concatenate([combined, rem], axis=axis)
+            xs = combined
+            d = xs.shape[axis]
+        return jnp.squeeze(xs, axis=axis)
+
+    def hs_excl_prefix(xs, axis):
+        """Exclusive EC prefixes along `axis` via Hillis-Steele rounds +
+        shift: log2(L) wide kernel calls."""
+        ln = xs.shape[axis]
+        shape = [1] * xs.ndim
+        shape[axis] = ln
+        pos = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+        shift = 1
+        while shift < ln:
+            sval = jnp.roll(xs, shift, axis=axis)
+            xs = jnp.where(pos < shift, xs, cv.add(sval, xs))
+            shift *= 2
+        sval = jnp.roll(xs, 1, axis=axis)
+        return jnp.where(pos == 0, cv.identity_like(xs), sval)
+
+    def run(tables_flat, scalars):
+        batch = scalars.shape[2]
+        digits = digits_of(scalars)  # (W, n, B)
+        window_results = []
+        iota_n = jax.lax.broadcasted_iota(jnp.uint32, (1, n, 1), 1)
+        for g in range(n_groups):
+            dg = digits[g * group : (g + 1) * group]  # (G, n, B)
+            # -- stable sort by digit via packed keys --------------------
+            keys = (dg << idx_bits) | iota_n  # (G, n, B)
+            skeys = jax.lax.sort(keys, dimension=1)
+            order = (skeys & jnp.uint32(n - 1)).astype(jnp.int32)
+            # -- gather AoS table rows in sorted order -------------------
+            base = (
+                jnp.arange(g * group, (g + 1) * group, dtype=jnp.int32) * n
+            )[:, None, None]
+            flat = (base + order).reshape(-1)
+            rows = jnp.take(tables_flat, flat, axis=0)  # (G*n*B, rowK)
+            aff = rows.T.reshape(NUM_LIMBS, comps, 2, group, n, batch)
+            # -- counts C(d) = #(digit <= d), d in [0, nb-2] -------------
+            d32 = dg.astype(jnp.int32)
+            g_idx = jnp.broadcast_to(
+                jnp.arange(group, dtype=jnp.int32)[:, None, None], d32.shape
+            )
+            b_idx = jnp.broadcast_to(
+                jnp.arange(batch, dtype=jnp.int32)[None, None, :], d32.shape
+            )
+            hist = jnp.zeros((group, n_buckets, batch), dtype=jnp.int32)
+            hist = hist.at[g_idx, d32, b_idx].add(1)
+            counts = jnp.cumsum(hist, axis=1)[:, : n_buckets - 1]
+            # -- intra-block inclusive prefixes: scan over the k axis ----
+            blocks = aff.reshape(
+                NUM_LIMBS, comps, 2, group, n // k, k, batch
+            )
+            cols = jnp.moveaxis(blocks, 5, 0)  # (k, 16, C, 2, G, NB, B)
+            first = cv.from_affine(cols[0])
+
+            def fine_body(carry, col):
+                new = cv.add_mixed(carry, col)
+                return new, new
+
+            last_carry, ys = jax.lax.scan(fine_body, first, cols[1:])
+            fine = jnp.concatenate([first[None], ys], axis=0)  # (k, ..., NB, B)
+            fine = jnp.moveaxis(fine, 0, 5)  # (16,C,3,G,NB,k,B)
+            fine = fine.reshape(NUM_LIMBS, comps, 3, group, n, batch)
+            totals = last_carry  # (16, C, 3, G, NB, B)
+            # -- exclusive block prefixes --------------------------------
+            coarse_excl = hs_excl_prefix(totals, 4)  # (16,C,3,G,NB,B)
+            # -- Q_d gather ----------------------------------------------
+            total_col = jnp.full((group, 1, batch), n, dtype=jnp.int32)
+            c_all = jnp.concatenate([counts, total_col], axis=1)  # (G,nb,B)
+            idx = jnp.maximum(c_all - 1, 0)
+            shape = fine.shape[:4] + idx.shape[1:]
+            idx_b = jnp.broadcast_to(idx[None, None, None], shape)
+            f = jnp.take_along_axis(fine, idx_b, axis=4)
+            blk_b = jnp.broadcast_to((idx // k)[None, None, None], shape)
+            cq = jnp.take_along_axis(coarse_excl, blk_b, axis=4)
+            q = cv.add(f, cq)
+            ident = cv.identity_like(q)
+            q = jnp.where((c_all == 0)[None, None, None], ident, q)
+            s_total = q[:, :, :, :, n_buckets - 1]
+            pos = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, 1, n_buckets, 1), 4
+            )
+            q = jnp.where(pos == n_buckets - 1, ident, q)
+            # -- sum_d Q_d: halving tree ---------------------------------
+            sum_q = tree_sum(q, 4)
+            # -- telescope: (2^c - 1) * S_total - sum Q ------------------
+            t = jax.lax.fori_loop(
+                0, c_bits, lambda _, p: cv.double(p), s_total
+            )
+            terms = jnp.stack([cv.neg(s_total), cv.neg(sum_q)])
+            t, _ = jax.lax.scan(lambda acc, x: (cv.add(acc, x), None), t, terms)
+            window_results.append(t)  # (16, C, 3, G, B)
+        all_windows = jnp.concatenate(window_results, axis=3)  # (...,W,B)
+        # -- combine windows (tables bake the 2^(c*w) factors): plain sum
+        acc = tree_sum(all_windows, 3)
+        return acc  # (16, C, 3, B)
+
+    return jax.jit(run)
+
+
+def fused_msm_pass(adapter, tables_aos, scalars, n, n_windows, c_bits):
+    """Drop-in for the eager msm_pipeline: tables_aos (1, W*n, rowK) or
+    (W*n, rowK); scalars (16, n, B) canonical. Returns (16, C, 3, B)."""
+    group = _window_group(scalars.shape[2], adapter.components, n_windows)
+    tables_flat = tables_aos[0] if tables_aos.ndim == 3 else tables_aos
+    fn = _build_fused(adapter, n, n_windows, c_bits, group)
+    return fn(tables_flat, scalars)

@@ -86,7 +86,7 @@ class Groth16Prover:
             self.evaluator: Optional[WitnessEvaluator] = WitnessEvaluator(graph)
         except UnsupportedGraph:
             self.evaluator = None  # exotic ops: host interpreter fallback
-        self.mapper = WitnessMapper(zkey.matrices)
+        self.mapper = WitnessMapper(zkey.matrices, mesh=mesh)
         if mesh is not None:
             from ..parallel.sharded import ShardedMSM
 
@@ -112,6 +112,21 @@ class Groth16Prover:
         The batch axis is padded to a power-of-two size class (the padding
         lanes replicate lane 0); callers slice back down."""
         if self.evaluator is not None:
+            from .msm import LANE_BATCH
+
+            chunk = LANE_BATCH * (
+                self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+            )
+            if batch > chunk:  # reuse the LANE_BATCH-class compiled evaluator
+                parts = []
+                for lo in range(0, batch, chunk):
+                    hi = min(lo + chunk, batch)
+                    sub = {
+                        name: [col[lo:hi] for col in cols]
+                        for name, cols in named_inputs.items()
+                    }
+                    parts.append(self.full_assignments(sub, hi - lo))
+                return jnp.concatenate(parts, axis=2)
             target = self._batch_target(batch)
             if target != batch:
                 named_inputs = {
@@ -153,8 +168,28 @@ class Groth16Prover:
 
     def prove_batch_with_assignment(self, assignment, rs, ss, metrics=None) -> List[Proof]:
         from ..runtime.profiling import stage_timer
+        from .msm import LANE_BATCH
 
         batch = len(rs)
+        # Stream big batches through the LANE_BATCH-class compiled programs —
+        # QAP, from_mont and the MSMs all keep one program shape per process
+        # instead of recompiling per batch size class (a b64 first round paid
+        # ~150s of per-class compiles before this).
+        chunk = LANE_BATCH * (
+            self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        )
+        if batch > chunk:
+            proofs: List[Proof] = []
+            for lo in range(0, batch, chunk):
+                hi = min(lo + chunk, batch)
+                proofs.extend(
+                    self.prove_batch_with_assignment(
+                        assignment[:, :, lo:hi], rs[lo:hi], ss[lo:hi], metrics=metrics
+                    )
+                )
+            if metrics is not None:
+                metrics.batch = batch
+            return proofs
         target = self._batch_target(batch)
         if assignment.shape[2] < target:
             reps = jnp.repeat(

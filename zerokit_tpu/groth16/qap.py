@@ -102,10 +102,22 @@ class WitnessMapper:
     shared across the ifft/fft invocations.
     """
 
-    def __init__(self, matrices: ConstraintMatrices):
+    def __init__(self, matrices: ConstraintMatrices, mesh=None):
+        """mesh: optional ("dp","tp") jax.sharding.Mesh. When set, the three
+        coset lifts run the distributed Bailey NTT (parallel/ntt_sharded.py):
+        the domain axis shards over "tp" with all_to_all stage exchange while
+        the proof batch stays dp-sharded — the witness map's work no longer
+        replicates per device (north star: SURVEY §2d sequence-parallel
+        analog; reference hot path qap.rs:69-90 is single-core)."""
         self.num_constraints = matrices.num_constraints
         self.num_inputs = matrices.num_instance_variables
         self.domain_size = ntt.domain_size_for(self.num_constraints + self.num_inputs)
+        if mesh is not None:
+            tp = mesh.shape.get("tp", 1)
+            n2 = self.domain_size // tp if tp and self.domain_size % tp == 0 else 0
+            if tp <= 1 or n2 == 0 or n2 & (n2 - 1):
+                mesh = None  # domain does not split over this mesh
+        self.mesh = mesh
         self.a = SparseMatrix(matrices.a, self.domain_size)
         self.b = SparseMatrix(matrices.b, self.domain_size)
         self.root_2n = ntt.coset_root_2n(self.domain_size)
@@ -116,18 +128,51 @@ class WitnessMapper:
                 a, pub, self.num_constraints, axis=1
             )
         )
+        # On TPU the whole witness map traces into ONE program (~12 fewer
+        # dispatch/materialization boundaries per batch); on CPU the pieces
+        # stay separate for compile economy (see class docstring).
+        from ..ff import pallas_field as pf
+
+        self._fused_map = jax.jit(self._witness_map_body) if pf.available() else None
 
     def _coset_lift(self, evals: jnp.ndarray) -> jnp.ndarray:
         poly = ntt.ifft(evals)
         shifted = ntt.distribute_powers(poly, self.root_2n)
         return ntt.fft(shifted)
 
+    def _coset_lift_sharded(self, evals: jnp.ndarray) -> jnp.ndarray:
+        from ..parallel.ntt_sharded import sharded_fft
+
+        poly = sharded_fft(evals, self.mesh, "tp", inverse=True)
+        shifted = ntt.distribute_powers(poly, self.root_2n)
+        return sharded_fft(shifted, self.mesh, "tp")
+
+    def _witness_map_body(self, assignment: jnp.ndarray) -> jnp.ndarray:
+        a = sparse_matvec(self.a, assignment)
+        b = sparse_matvec(self.b, assignment)
+        a = jax.lax.dynamic_update_slice_in_dim(
+            a, assignment[:, : self.num_inputs], self.num_constraints, axis=1
+        )
+        c = FrField.mul(a, b)  # rows past num_constraints have b == 0, so
+        # c stays 0 there exactly as the reference requires (qap.rs:60-67)
+        ab = FrField.mul(self._coset_lift(a), self._coset_lift(b))
+        return FrField.sub(ab, self._coset_lift(c))
+
     def witness_map(self, assignment: jnp.ndarray) -> jnp.ndarray:
         """assignment: (16, n_wires, B) Montgomery -> h: (16, domain, B)."""
+        if self.mesh is not None:
+            lift = self._coset_lift_sharded
+            a = self._matvec_a(assignment)
+            b = self._matvec_b(assignment)
+            a = self._insert_pub(a, assignment[:, : self.num_inputs])
+            c = FrField.mul(a, b)
+            ab = FrField.mul(lift(a), lift(b))
+            return FrField.sub(ab, lift(c))
+        if self._fused_map is not None:
+            return self._fused_map(assignment)
         a = self._matvec_a(assignment)
         b = self._matvec_b(assignment)
         a = self._insert_pub(a, assignment[:, : self.num_inputs])
-        c = FrField.mul(a, b)  # rows past num_constraints have b == 0, so
-        # c stays 0 there exactly as the reference requires (qap.rs:60-67)
+        c = FrField.mul(a, b)
         ab = FrField.mul(self._coset_lift(a), self._coset_lift(b))
         return FrField.sub(ab, self._coset_lift(c))
