@@ -127,6 +127,77 @@ int rln_hash_to_field(const uint8_t *signal, size_t len, int be,
 int rln_poseidon_hash(const uint8_t *inputs, size_t inputs_len,
                       rln_buffer *out);
 
+
+/* ---- standalone codecs (ffi_rln.rs *_to_bytes_{le,be} exports): each
+ * parses (validating canonicality / full consumption) and re-serializes. */
+int rln_recode_witness(const uint8_t *data, size_t len, int in_be, int out_be,
+                       rln_buffer *out);
+int rln_recode_partial_witness(const uint8_t *data, size_t len, int in_be,
+                               int out_be, rln_buffer *out);
+int rln_recode_proof_values(const uint8_t *data, size_t len, int in_be,
+                            int out_be, rln_buffer *out);
+/* v2 witness wire <-> V3 witness wire (serialize.rs:248-674 layouts). */
+int rln_witness_to_v3(const uint8_t *data, size_t len, int in_be, int out_be,
+                      rln_buffer *out);
+int rln_v3_to_witness(const uint8_t *data, size_t len, int in_be, int out_be,
+                      rln_buffer *out);
+/* Witness wire -> recomputed proof-values wire (witness.rs:759-828). */
+int rln_proof_values_from_witness(const uint8_t *witness, size_t len, int be,
+                                  rln_buffer *out);
+/* V3 proof wire -> its proof-values wire (no pairing check). */
+int rln_extract_proof_values(const uint8_t *proof, size_t len, int be,
+                             rln_buffer *out);
+/* Proof-values field accessors (reference ffi_utils.rs CFr accessors). */
+int rln_proof_values_root(const uint8_t *values, size_t len, int be,
+                          rln_buffer *out);
+int rln_proof_values_x(const uint8_t *values, size_t len, int be,
+                       rln_buffer *out);
+int rln_proof_values_external_nullifier(const uint8_t *values, size_t len,
+                                        int be, rln_buffer *out);
+/* Active nullifiers as vec<Fr> wire bytes (Single: one entry). */
+int rln_proof_values_nullifiers(const uint8_t *values, size_t len, int be,
+                                rln_buffer *out);
+
+/* ---- vec builder helpers (ffi_utils.rs Vec<CFr>/Vec<u8> builders) ---- */
+
+/* n concatenated 32-byte field elements -> length-prefixed vec<Fr> wire. */
+int rln_vec_fr_build(const uint8_t *frs, size_t len, int be, rln_buffer *out);
+int rln_vec_fr_len(const uint8_t *vec, size_t len, int be, size_t *count);
+int rln_vec_fr_get(const uint8_t *vec, size_t len, int be, size_t index,
+                   rln_buffer *out);
+int rln_vec_u8_build(const uint8_t *data, size_t len, int be, rln_buffer *out);
+int rln_vec_u8_read(const uint8_t *vec, size_t len, int be, rln_buffer *out);
+
+/* ---- BE keygen variants + extra hashers (ffi_rln.rs exports) ---- */
+
+int rln_keygen_be(rln_buffer *out);
+int rln_seeded_keygen_be(const uint8_t *seed, size_t seed_len, rln_buffer *out);
+int rln_extended_keygen_be(rln_buffer *out);
+int rln_extended_seeded_keygen_be(const uint8_t *seed, size_t seed_len,
+                                  rln_buffer *out);
+int rln_poseidon_hash_pair(const uint8_t a[32], const uint8_t b[32], int be,
+                           rln_buffer *out);
+/* Identity secret -> Poseidon commitment (keygen.rs:16-30 relation). */
+int rln_id_commitment(const uint8_t secret[32], int be, rln_buffer *out);
+
+/* ---- extended engine ops ---- */
+
+/* Ctor reading the tree config from a file, 1 MB cap (ffi_rln_v3.rs:18). */
+uint64_t rln_new_with_config_file(int stateful, const char *mode,
+                                  const char *tree_backend, const uint8_t *zkey,
+                                  size_t zkey_len, const uint8_t *graph,
+                                  size_t graph_len, const char *config_path);
+/* All set leaves [0, leaves_set) as vec<Fr> wire bytes. */
+int rln_get_leaves(uint64_t handle, rln_buffer *out);
+/* Deterministic proving with caller blinding (proof.rs:753 _with_rs). */
+int rln_generate_proof_with_rs(uint64_t handle, const uint8_t *witness,
+                               size_t witness_len, int be, const uint8_t r[32],
+                               const uint8_t s[32], rln_buffer *out);
+/* Batch-first proving: `count` concatenated witness wires in, `count`
+ * concatenated V3 proof wires out (one device pipeline pass). */
+int rln_generate_proofs(uint64_t handle, size_t count, const uint8_t *witnesses,
+                        size_t witnesses_len, int be, rln_buffer *out);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

@@ -510,4 +510,209 @@ int rln_poseidon_hash(const uint8_t *inputs, size_t inputs_len,
       out);
 }
 
+
+/* ---- standalone codecs, vec builders, extended ops (round 3) ---- */
+
+static int recode3(const char *fn, const uint8_t *data, size_t len, int in_be,
+                   int out_be, rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue(fn, Py_BuildValue("(y#ii)", (const char *)data,
+                                  (Py_ssize_t)len, in_be, out_be)),
+      out);
+}
+
+int rln_recode_witness(const uint8_t *data, size_t len, int in_be, int out_be,
+                       rln_buffer *out) {
+  return recode3("recode_witness", data, len, in_be, out_be, out);
+}
+
+int rln_recode_partial_witness(const uint8_t *data, size_t len, int in_be,
+                               int out_be, rln_buffer *out) {
+  return recode3("recode_partial_witness", data, len, in_be, out_be, out);
+}
+
+int rln_recode_proof_values(const uint8_t *data, size_t len, int in_be,
+                            int out_be, rln_buffer *out) {
+  return recode3("recode_proof_values", data, len, in_be, out_be, out);
+}
+
+int rln_witness_to_v3(const uint8_t *data, size_t len, int in_be, int out_be,
+                      rln_buffer *out) {
+  return recode3("witness_to_v3", data, len, in_be, out_be, out);
+}
+
+int rln_v3_to_witness(const uint8_t *data, size_t len, int in_be, int out_be,
+                      rln_buffer *out) {
+  return recode3("v3_to_witness", data, len, in_be, out_be, out);
+}
+
+static int bytes_be_call(const char *fn, const uint8_t *data, size_t len,
+                         int be, rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue(fn, Py_BuildValue("(y#i)", (const char *)data,
+                                  (Py_ssize_t)len, be)),
+      out);
+}
+
+int rln_proof_values_from_witness(const uint8_t *witness, size_t len, int be,
+                                  rln_buffer *out) {
+  return bytes_be_call("ffi_proof_values_from_witness", witness, len, be, out);
+}
+
+int rln_extract_proof_values(const uint8_t *proof, size_t len, int be,
+                             rln_buffer *out) {
+  return bytes_be_call("extract_proof_values", proof, len, be, out);
+}
+
+int rln_proof_values_root(const uint8_t *values, size_t len, int be,
+                          rln_buffer *out) {
+  return bytes_be_call("proof_values_root", values, len, be, out);
+}
+
+int rln_proof_values_x(const uint8_t *values, size_t len, int be,
+                       rln_buffer *out) {
+  return bytes_be_call("proof_values_x", values, len, be, out);
+}
+
+int rln_proof_values_external_nullifier(const uint8_t *values, size_t len,
+                                        int be, rln_buffer *out) {
+  return bytes_be_call("proof_values_external_nullifier", values, len, be, out);
+}
+
+int rln_proof_values_nullifiers(const uint8_t *values, size_t len, int be,
+                                rln_buffer *out) {
+  return bytes_be_call("proof_values_nullifiers", values, len, be, out);
+}
+
+int rln_vec_fr_build(const uint8_t *frs, size_t len, int be, rln_buffer *out) {
+  return bytes_be_call("vec_fr_build", frs, len, be, out);
+}
+
+int rln_vec_fr_len(const uint8_t *vec, size_t len, int be, size_t *count) {
+  GilScope gil;
+  PyObject *res = call_glue(
+      "vec_fr_len",
+      Py_BuildValue("(y#i)", (const char *)vec, (Py_ssize_t)len, be));
+  if (!res) return -1;
+  *count = (size_t)PyLong_AsUnsignedLongLong(res);
+  Py_DECREF(res);
+  return 0;
+}
+
+int rln_vec_fr_get(const uint8_t *vec, size_t len, int be, size_t index,
+                   rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("vec_fr_get",
+                Py_BuildValue("(y#iK)", (const char *)vec, (Py_ssize_t)len, be,
+                              (unsigned long long)index)),
+      out);
+}
+
+int rln_vec_u8_build(const uint8_t *data, size_t len, int be, rln_buffer *out) {
+  return bytes_be_call("vec_u8_build", data, len, be, out);
+}
+
+int rln_vec_u8_read(const uint8_t *vec, size_t len, int be, rln_buffer *out) {
+  return bytes_be_call("vec_u8_read", vec, len, be, out);
+}
+
+int rln_keygen_be(rln_buffer *out) {
+  GilScope gil;
+  return finish_call(call_glue("ffi_keygen_be", Py_BuildValue("()")), out);
+}
+
+int rln_seeded_keygen_be(const uint8_t *seed, size_t seed_len,
+                         rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("ffi_keygen_be", Py_BuildValue("(y#)", (const char *)seed,
+                                               (Py_ssize_t)seed_len)),
+      out);
+}
+
+int rln_extended_keygen_be(rln_buffer *out) {
+  GilScope gil;
+  return finish_call(call_glue("ffi_extended_keygen_be", Py_BuildValue("()")),
+                     out);
+}
+
+int rln_extended_seeded_keygen_be(const uint8_t *seed, size_t seed_len,
+                                  rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("ffi_extended_keygen_be",
+                Py_BuildValue("(y#)", (const char *)seed, (Py_ssize_t)seed_len)),
+      out);
+}
+
+int rln_poseidon_hash_pair(const uint8_t a[32], const uint8_t b[32], int be,
+                           rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("ffi_poseidon_hash_pair",
+                Py_BuildValue("(y#y#i)", (const char *)a, (Py_ssize_t)32,
+                              (const char *)b, (Py_ssize_t)32, be)),
+      out);
+}
+
+int rln_id_commitment(const uint8_t secret[32], int be, rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("ffi_id_commitment",
+                Py_BuildValue("(y#i)", (const char *)secret, (Py_ssize_t)32, be)),
+      out);
+}
+
+uint64_t rln_new_with_config_file(int stateful, const char *mode,
+                                  const char *tree_backend, const uint8_t *zkey,
+                                  size_t zkey_len, const uint8_t *graph,
+                                  size_t graph_len, const char *config_path) {
+  GilScope gil;
+  PyObject *zk = bytes_or_none(zkey, zkey_len);
+  PyObject *gr = bytes_or_none(graph, graph_len);
+  PyObject *args = Py_BuildValue(
+      "(issNNs)", stateful, mode ? mode : "single",
+      tree_backend ? tree_backend : "optimal", zk, gr, config_path);
+  PyObject *res = call_glue("new_with_config_file", args);
+  if (!res) return 0;
+  uint64_t h = PyLong_AsUnsignedLongLong(res);
+  Py_DECREF(res);
+  if (PyErr_Occurred()) {
+    set_error(fetch_py_error());
+    return 0;
+  }
+  return h;
+}
+
+int rln_get_leaves(uint64_t handle, rln_buffer *out) {
+  GilScope gil;
+  return finish_call(call_glue("get_leaves", Py_BuildValue("(K)", handle)), out);
+}
+
+int rln_generate_proof_with_rs(uint64_t handle, const uint8_t *witness,
+                               size_t witness_len, int be, const uint8_t r[32],
+                               const uint8_t s[32], rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("generate_proof_with_rs",
+                Py_BuildValue("(Ky#iy#y#)", handle, (const char *)witness,
+                              (Py_ssize_t)witness_len, be, (const char *)r,
+                              (Py_ssize_t)32, (const char *)s, (Py_ssize_t)32)),
+      out);
+}
+
+int rln_generate_proofs(uint64_t handle, size_t count, const uint8_t *witnesses,
+                        size_t witnesses_len, int be, rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("generate_proofs_batch",
+                Py_BuildValue("(KKy#i)", handle, (unsigned long long)count,
+                              (const char *)witnesses,
+                              (Py_ssize_t)witnesses_len, be)),
+      out);
+}
+
 }  // extern "C"

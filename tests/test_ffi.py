@@ -249,3 +249,135 @@ def test_prove_with_witness_ffi(lib, engine):
     ok = ctypes.c_int(-1)
     assert lib.rln_verify(engine, proof, len(proof), ctypes.byref(ok)) == 0
     assert ok.value == 1
+
+
+def test_ffi_codecs_and_vec_builders(lib):
+    """Round-3 surface: standalone codecs, accessors, vec builders, BE
+    keygen (reference ffi_rln.rs codec exports + ffi_utils.rs builders)."""
+    from zerokit_tpu.protocol.witness import RLNWitnessInput
+    from zerokit_tpu.protocol.proof import proof_values_from_witness
+
+    tree = OptimalMerkleTree(10)
+    sk, pk = seeded_keygen(b"ffi-codec-seed")
+    tree.set(0, poseidon_hash_pair(poseidon_hash([int(sk)]), 7))
+    mp = tree.proof(0)
+    w = RLNWitnessInput.new_single(
+        int(sk), 7, 2, mp.get_path_elements(), mp.get_path_index(),
+        hash_to_field_le(b"sig"), hash_to_field_le(b"en"),
+    )
+    wire_le = ser.rln_witness_to_bytes(w, False)
+
+    # recode LE -> BE -> LE roundtrips through the C surface
+    buf = RlnBuffer()
+    assert lib.rln_recode_witness(wire_le, len(wire_le), 0, 1, ctypes.byref(buf)) == 0
+    wire_be = take(lib, buf)
+    assert wire_be == ser.rln_witness_to_bytes(w, True)
+    assert lib.rln_recode_witness(wire_be, len(wire_be), 1, 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == wire_le
+
+    # v2 <-> V3 witness wires
+    assert lib.rln_witness_to_v3(wire_le, len(wire_le), 0, 0, ctypes.byref(buf)) == 0
+    v3 = take(lib, buf)
+    assert v3 == ser.witness_v3_to_bytes(w, False)
+    assert lib.rln_v3_to_witness(v3, len(v3), 0, 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == wire_le
+
+    # proof values from witness + accessors
+    values = proof_values_from_witness(w)
+    assert lib.rln_proof_values_from_witness(wire_le, len(wire_le), 0, ctypes.byref(buf)) == 0
+    vals_wire = take(lib, buf)
+    assert vals_wire == ser.rln_proof_values_to_bytes(values, False)
+    assert lib.rln_proof_values_root(vals_wire, len(vals_wire), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == fr(values.root)
+    assert lib.rln_proof_values_x(vals_wire, len(vals_wire), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == fr(values.x)
+    assert lib.rln_proof_values_external_nullifier(vals_wire, len(vals_wire), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == fr(values.external_nullifier)
+    assert lib.rln_proof_values_nullifiers(vals_wire, len(vals_wire), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == ser.vec_fr_to_bytes([values.nullifier], False)
+    assert lib.rln_recode_proof_values(vals_wire, len(vals_wire), 0, 1, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == ser.rln_proof_values_to_bytes(values, True)
+
+    # partial witness recode
+    from zerokit_tpu.protocol.witness import RLNPartialWitnessInput
+
+    pw = RLNPartialWitnessInput.from_witness(w)
+    pw_wire = ser.rln_partial_witness_to_bytes(pw, False)
+    assert lib.rln_recode_partial_witness(pw_wire, len(pw_wire), 0, 1, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == ser.rln_partial_witness_to_bytes(pw, True)
+
+    # vec<Fr> builders
+    vals = [1, 2, int(pk)]
+    concat = b"".join(fr(v) for v in vals)
+    assert lib.rln_vec_fr_build(concat, len(concat), 0, ctypes.byref(buf)) == 0
+    vec_wire = take(lib, buf)
+    assert vec_wire == ser.vec_fr_to_bytes(vals, False)
+    count = ctypes.c_size_t()
+    assert lib.rln_vec_fr_len(vec_wire, len(vec_wire), 0, ctypes.byref(count)) == 0
+    assert count.value == 3
+    assert lib.rln_vec_fr_get(vec_wire, len(vec_wire), 0, 2, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == fr(int(pk))
+    assert lib.rln_vec_fr_get(vec_wire, len(vec_wire), 0, 5, ctypes.byref(buf)) != 0
+
+    # vec<u8> builders
+    raw = b"\x01\x02\xfe"
+    assert lib.rln_vec_u8_build(raw, len(raw), 0, ctypes.byref(buf)) == 0
+    u8_wire = take(lib, buf)
+    assert u8_wire == ser.vec_u8_to_bytes(list(raw), False)
+    assert lib.rln_vec_u8_read(u8_wire, len(u8_wire), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == raw
+
+    # BE keygen variants (seeded: deterministic vs the Python API)
+    assert lib.rln_seeded_keygen_be(b"seed-be", 7, ctypes.byref(buf)) == 0
+    out = take(lib, buf)
+    sk2, pk2 = seeded_keygen(b"seed-be")
+    assert out == ser.fr_to_bytes(int(sk2), True) + ser.fr_to_bytes(pk2, True)
+    assert lib.rln_keygen_be(ctypes.byref(buf)) == 0
+    assert len(take(lib, buf)) == 64
+    assert lib.rln_extended_keygen_be(ctypes.byref(buf)) == 0
+    assert len(take(lib, buf)) == 128
+    assert lib.rln_extended_seeded_keygen_be(b"x", 1, ctypes.byref(buf)) == 0
+    assert len(take(lib, buf)) == 128
+
+    # hashers
+    a, b = 12345, 67890
+    assert lib.rln_poseidon_hash_pair(fr(a), fr(b), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == fr(poseidon_hash_pair(a, b))
+    assert lib.rln_id_commitment(fr(int(sk)), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == fr(poseidon_hash([int(sk)]))
+
+
+def test_ffi_config_file_ctor_and_leaves(lib, tmp_path):
+    """rln_new_with_config_file (1 MB cap, ffi_rln_v3.rs:18) + get_leaves."""
+    zkey = load_resource("tree_depth_10/rln_final.arkzkey")
+    graph = load_resource("tree_depth_10/graph.bin")
+    cfg = tmp_path / "config.json"
+    cfg.write_text('{"cache_capacity": 10000, "mode": "high_throughput"}')
+    lib.rln_new_with_config_file.restype = ctypes.c_uint64
+    lib.rln_new_with_config_file.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+    ]
+    h = lib.rln_new_with_config_file(
+        1, b"single", b"pmtree", zkey, len(zkey), graph, len(graph),
+        str(cfg).encode(),
+    )
+    assert h > 0, lib.rln_last_error()
+    try:
+        assert lib.rln_set_leaf(h, 0, fr(111)) == 0
+        assert lib.rln_set_leaf(h, 1, fr(222)) == 0
+        buf = RlnBuffer()
+        assert lib.rln_get_leaves(h, ctypes.byref(buf)) == 0
+        assert take(lib, buf) == ser.vec_fr_to_bytes([111, 222], False)
+    finally:
+        lib.rln_free(h)
+
+    # over-cap config rejected
+    big = tmp_path / "big.json"
+    big.write_bytes(b"x" * ((1 << 20) + 1))
+    h2 = lib.rln_new_with_config_file(
+        1, b"single", b"pmtree", zkey, len(zkey), graph, len(graph),
+        str(big).encode(),
+    )
+    assert h2 == 0

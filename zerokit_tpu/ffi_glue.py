@@ -273,3 +273,193 @@ def ffi_hash(signal: bytes, be: bool) -> bytes:
 def ffi_poseidon_hash(inputs_le: bytes) -> bytes:
     vals, _ = ser.bytes_to_vec_fr(inputs_le, False)
     return _fr_bytes(poseidon_hash(vals))
+
+
+def ffi_keygen_be(seed: Optional[bytes] = None) -> bytes:
+    """BE variant (reference ffi_rln.rs exposes both endiannesses)."""
+    sk, pk = seeded_keygen(seed) if seed else keygen()
+    return _fr_bytes(int(sk), True) + _fr_bytes(pk, True)
+
+
+def ffi_extended_keygen_be(seed: Optional[bytes] = None) -> bytes:
+    parts = extended_seeded_keygen(seed) if seed else extended_keygen()
+    return b"".join(_fr_bytes(int(p), True) for p in parts)
+
+
+def ffi_poseidon_hash_pair(a: bytes, b: bytes, be: bool) -> bytes:
+    from .hash.poseidon import poseidon_hash_pair
+
+    return _fr_bytes(poseidon_hash_pair(_fr_from(a, be), _fr_from(b, be)), be)
+
+
+def ffi_id_commitment(secret: bytes, be: bool) -> bytes:
+    """Identity secret -> Poseidon commitment (keygen.rs:16-30 relation)."""
+    return _fr_bytes(poseidon_hash([_fr_from(secret, be)]), be)
+
+
+# -- standalone wire-format codecs (reference ffi_rln.rs *_to_bytes_{le,be},
+#    bytes_{le,be}_to_* exports; all validate canonicality on the way in) ----
+
+
+def recode_witness(data: bytes, in_be: bool, out_be: bool) -> bytes:
+    w, read = ser.bytes_to_rln_witness(data, in_be)
+    ser._check_fully_read(read, len(data))
+    return ser.rln_witness_to_bytes(w, out_be)
+
+
+def recode_partial_witness(data: bytes, in_be: bool, out_be: bool) -> bytes:
+    w, read = ser.bytes_to_rln_partial_witness(data, in_be)
+    ser._check_fully_read(read, len(data))
+    return ser.rln_partial_witness_to_bytes(w, out_be)
+
+
+def recode_proof_values(data: bytes, in_be: bool, out_be: bool) -> bytes:
+    v, read = ser.bytes_to_rln_proof_values(data, in_be)
+    ser._check_fully_read(read, len(data))
+    return ser.rln_proof_values_to_bytes(v, out_be)
+
+
+def witness_to_v3(data: bytes, in_be: bool, out_be: bool) -> bytes:
+    """v2 witness wire -> V3 witness wire (serialize.rs:248-674 layouts)."""
+    w, read = ser.bytes_to_rln_witness(data, in_be)
+    ser._check_fully_read(read, len(data))
+    return ser.witness_v3_to_bytes(w, out_be)
+
+
+def v3_to_witness(data: bytes, in_be: bool, out_be: bool) -> bytes:
+    w = ser.bytes_to_witness_v3(data, in_be)
+    return ser.rln_witness_to_bytes(w, out_be)
+
+
+def ffi_proof_values_from_witness(witness_bytes: bytes, be: bool) -> bytes:
+    """Witness wire -> recomputed proof-values wire (witness.rs:759-828)."""
+    from .protocol.proof import proof_values_from_witness
+
+    w, read = ser.bytes_to_rln_witness(witness_bytes, be)
+    ser._check_fully_read(read, len(witness_bytes))
+    return ser.rln_proof_values_to_bytes(proof_values_from_witness(w), be)
+
+
+def extract_proof_values(proof_bytes: bytes, be: bool) -> bytes:
+    """V3 proof wire -> its proof-values wire (no pairing check)."""
+    _, values = ser.bytes_to_proof_v3(proof_bytes)
+    return ser.rln_proof_values_to_bytes(values, be)
+
+
+def proof_values_root(values_bytes: bytes, be: bool) -> bytes:
+    v, _ = ser.bytes_to_rln_proof_values(values_bytes, be)
+    return _fr_bytes(v.root, be)
+
+
+def proof_values_x(values_bytes: bytes, be: bool) -> bytes:
+    v, _ = ser.bytes_to_rln_proof_values(values_bytes, be)
+    return _fr_bytes(v.x, be)
+
+
+def proof_values_external_nullifier(values_bytes: bytes, be: bool) -> bytes:
+    v, _ = ser.bytes_to_rln_proof_values(values_bytes, be)
+    return _fr_bytes(v.external_nullifier, be)
+
+
+def proof_values_nullifiers(values_bytes: bytes, be: bool) -> bytes:
+    """Active nullifiers as vec<Fr> wire bytes (Single: one entry)."""
+    v, _ = ser.bytes_to_rln_proof_values(values_bytes, be)
+    if v.nullifier is not None:
+        nulls = [v.nullifier]
+    else:
+        nulls = [n for n, used in zip(v.nullifiers, v.selector_used) if used]
+    return ser.vec_fr_to_bytes(nulls, be)
+
+
+# -- Vec<Fr> builder helpers (reference ffi_utils.rs CFr/Vec builders) -------
+
+
+def vec_fr_build(frs: bytes, be: bool) -> bytes:
+    """n concatenated 32-byte field elements -> length-prefixed vec<Fr>."""
+    if len(frs) % 32:
+        raise ValueError("input must be 32-byte field elements")
+    vals = [_fr_from(frs[i : i + 32], be) for i in range(0, len(frs), 32)]
+    return ser.vec_fr_to_bytes(vals, be)
+
+
+def vec_fr_len(vec_bytes: bytes, be: bool) -> int:
+    vals, read = ser.bytes_to_vec_fr(vec_bytes, be)
+    ser._check_fully_read(read, len(vec_bytes))
+    return len(vals)
+
+
+def vec_fr_get(vec_bytes: bytes, be: bool, index: int) -> bytes:
+    vals, _ = ser.bytes_to_vec_fr(vec_bytes, be)
+    if index < 0 or index >= len(vals):
+        raise IndexError(f"vec<Fr> index {index} out of range ({len(vals)})")
+    return _fr_bytes(vals[index], be)
+
+
+def vec_u8_build(data: bytes, be: bool) -> bytes:
+    return ser.vec_u8_to_bytes(list(data), be)
+
+
+def vec_u8_read(vec_bytes: bytes, be: bool) -> bytes:
+    vals, read = ser.bytes_to_vec_u8(vec_bytes, be)
+    ser._check_fully_read(read, len(vec_bytes))
+    return bytes(vals)
+
+
+# -- extended engine ops -----------------------------------------------------
+
+MAX_CONFIG_SIZE = 1 << 20  # 1 MB cap, reference ffi_rln_v3.rs:18
+
+
+def new_with_config_file(
+    stateful: bool,
+    mode: str,
+    tree_backend: str,
+    zkey_bytes: Optional[bytes],
+    graph_bytes: Optional[bytes],
+    config_path: str,
+) -> int:
+    """Ctor reading the tree config from a FILE with the reference's 1 MB
+    cap (ffi_rln_v3.rs:18, 324-506 config-file ctors)."""
+    import os as _os
+
+    if _os.path.getsize(config_path) > MAX_CONFIG_SIZE:
+        raise ValueError(f"config file exceeds {MAX_CONFIG_SIZE} bytes")
+    with open(config_path, "r") as f:
+        cfg = f.read()
+    return new(stateful, mode, tree_backend, zkey_bytes, graph_bytes, cfg)
+
+
+def get_leaves(handle: int) -> bytes:
+    """All set leaves [0, leaves_set) as vec<Fr> wire bytes."""
+    rln = _get(handle)
+    n = rln.tree.leaves_set()
+    return ser.vec_fr_to_bytes([rln.tree.get(i) for i in range(n)], False)
+
+
+def generate_proof_with_rs(
+    handle: int, witness_bytes: bytes, be: bool, r_le: bytes, s_le: bytes
+) -> bytes:
+    """Deterministic proving with caller-provided blinding (reference
+    proof.rs:753 generate_zk_proof_with_rs)."""
+    rln = _get(handle)
+    witness, _ = ser.bytes_to_rln_witness(witness_bytes, be)
+    proof, values = rln.generate_proof(
+        witness, r=_fr_from(r_le), s=_fr_from(s_le)
+    )
+    return ser.proof_v3_to_bytes(proof, values)
+
+
+def generate_proofs_batch(handle: int, count: int, witnesses_bytes: bytes, be: bool) -> bytes:
+    """Batch-first proving (the TPU-native capability the reference lacks):
+    `count` concatenated witness wires in, `count` concatenated V3 proof
+    wires out — the whole batch runs through one device pipeline."""
+    rln = _get(handle)
+    wits = []
+    off = 0
+    for _ in range(count):
+        w, read = ser.bytes_to_rln_witness(witnesses_bytes[off:], be)
+        wits.append(w)
+        off += read
+    ser._check_fully_read(off, len(witnesses_bytes))
+    out = rln.generate_proofs(wits)
+    return b"".join(ser.proof_v3_to_bytes(p, v) for p, v in out)
