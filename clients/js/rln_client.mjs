@@ -134,3 +134,267 @@ export class RlnClient {
     return !!body.valid;
   }
 }
+
+// ---------------------------------------------------------------------------
+// WasmRLN-flow parity additions (reference rln-wasm/src/wasm_rln.rs:12-85):
+// local proof/value (de)serialization, the two-phase partial/finish flow,
+// Identity via the keygen endpoint, and a Merkle tree builder whose Poseidon
+// evaluations come from the service (the engine's hashers, hashers.rs:26-93).
+// The Groth16 pairing check itself stays server-side — that is the one
+// deliberate deviation from in-browser WASM verification, documented in the
+// header above.
+// ---------------------------------------------------------------------------
+
+function readVecFr(bytes, off) {
+  let n = 0n;
+  for (let i = 7; i >= 0; i--) n = (n << 8n) | BigInt(bytes[off + i]);
+  off += 8;
+  const out = [];
+  for (let i = 0; i < Number(n); i++) {
+    out.push(bytesToFr(bytes.subarray(off, off + FR_BYTES)));
+    off += FR_BYTES;
+  }
+  return [out, off];
+}
+
+function readVecU8(bytes, off) {
+  let n = 0n;
+  for (let i = 7; i >= 0; i--) n = (n << 8n) | BigInt(bytes[off + i]);
+  off += 8;
+  const out = Array.from(bytes.subarray(off, off + Number(n)));
+  return [out, off + Number(n)];
+}
+
+// Partial (static) witness wire (serialize.py rln_partial_witness_to_bytes):
+// version | identity_secret | user_message_limit | vec<Fr> path_elements |
+// vec<u8> path_index
+export function serializePartialWitness({
+  identitySecret,
+  userMessageLimit,
+  pathElements,
+  pathIndex,
+  versionByte = 0x00,
+}) {
+  return concat([
+    Uint8Array.of(versionByte),
+    frToBytes(identitySecret),
+    frToBytes(userMessageLimit),
+    u64le(pathElements.length),
+    ...pathElements.map(frToBytes),
+    u64le(pathIndex.length),
+    Uint8Array.from(pathIndex.map(Number)),
+  ]);
+}
+
+/** Proof-values wire -> object (proof.rs:192-268 layout, LE). */
+export function parseProofValues(bytes, off = 0) {
+  const mode = bytes[off];
+  off += 1;
+  const root = bytesToFr(bytes.subarray(off, off + FR_BYTES));
+  off += FR_BYTES;
+  const externalNullifier = bytesToFr(bytes.subarray(off, off + FR_BYTES));
+  off += FR_BYTES;
+  const x = bytesToFr(bytes.subarray(off, off + FR_BYTES));
+  off += FR_BYTES;
+  if (mode === 0x00) {
+    const y = bytesToFr(bytes.subarray(off, off + FR_BYTES));
+    off += FR_BYTES;
+    const nullifier = bytesToFr(bytes.subarray(off, off + FR_BYTES));
+    off += FR_BYTES;
+    return [{ mode: "single", root, externalNullifier, x, y, nullifier }, off];
+  }
+  let ys, nullifiers, selectors;
+  [ys, off] = readVecFr(bytes, off);
+  [nullifiers, off] = readVecFr(bytes, off);
+  [selectors, off] = readVecU8(bytes, off);
+  return [
+    {
+      mode: "multi",
+      root,
+      externalNullifier,
+      x,
+      ys,
+      nullifiers,
+      selectorUsed: selectors.map(Boolean),
+    },
+    off,
+  ];
+}
+
+const GROTH16_PROOF_SIZE = 128; // compressed, circuit/mod.rs:82
+
+/** Full RLN proof wire -> { groth16: Uint8Array(128), values } (the local
+ *  half of WasmRLN verify: callers can read roots/nullifiers without a
+ *  round trip; the pairing check stays on the service). */
+export function parseProof(bytes) {
+  const groth16 = bytes.subarray(1, 1 + GROTH16_PROOF_SIZE);
+  const [values] = parseProofValues(bytes, 1 + GROTH16_PROOF_SIZE);
+  return { versionByte: bytes[0], groth16, values };
+}
+
+/** Client-side root membership check, mirroring the order the engine uses
+ *  (roots checked BEFORE the pairing — public.rs:944-952). */
+export function rootAccepted(proofBytes, roots) {
+  const { values } = parseProof(proofBytes);
+  if (!roots.length) return true;
+  return roots.some((r) => (r instanceof Uint8Array ? bytesToFr(r) : BigInt(r)) === values.root);
+}
+
+export class Identity {
+  constructor({ secret, commitment, trapdoor = null, nullifier = null }) {
+    this.secret = secret;
+    this.commitment = commitment;
+    this.trapdoor = trapdoor;
+    this.nullifier = nullifier;
+  }
+}
+
+export class MerkleTree {
+  /** Poseidon-hash Merkle tree with hashing delegated to `hashPair`
+   *  (async). Mirrors the reference node test's host-side
+   *  OptimalMerkleTree (rln-wasm/tests/node.rs). */
+  constructor(depth, hashPair) {
+    this.depth = depth;
+    this.hashPair = hashPair;
+    this.leaves = [];
+    this._defaults = null; // per-level default nodes, built lazily
+  }
+
+  async _defaultNodes() {
+    if (!this._defaults) {
+      const d = [0n];
+      for (let i = 0; i < this.depth; i++) d.push(await this.hashPair(d[i], d[i]));
+      this._defaults = d;
+    }
+    return this._defaults;
+  }
+
+  async set(index, leaf) {
+    while (this.leaves.length <= index) this.leaves.push(0n);
+    this.leaves[index] = leaf;
+  }
+
+  async root() {
+    const defaults = await this._defaultNodes();
+    let level = this.leaves.slice();
+    for (let l = 0; l < this.depth; l++) {
+      const next = [];
+      for (let i = 0; i < Math.max(1, Math.ceil(level.length / 2)); i++) {
+        const a = level[2 * i] ?? defaults[l];
+        const b = level[2 * i + 1] ?? defaults[l];
+        next.push(await this.hashPair(a, b));
+      }
+      level = next;
+    }
+    return level[0];
+  }
+
+  async proof(index) {
+    const defaults = await this._defaultNodes();
+    let level = this.leaves.slice();
+    const pathElements = [];
+    const pathIndex = [];
+    let idx = index;
+    for (let l = 0; l < this.depth; l++) {
+      const sib = idx ^ 1;
+      pathElements.push(level[sib] ?? defaults[l]);
+      pathIndex.push(idx & 1);
+      const next = [];
+      for (let i = 0; i < Math.max(1, Math.ceil(level.length / 2)); i++) {
+        const a = level[2 * i] ?? defaults[l];
+        const b = level[2 * i + 1] ?? defaults[l];
+        next.push(await this.hashPair(a, b));
+      }
+      level = next;
+      idx >>= 1;
+    }
+    return { pathElements, pathIndex };
+  }
+}
+
+// -- service-backed methods on the client ------------------------------------
+
+RlnClient.prototype.provePartial = async function (partialWitnessBytes) {
+  const body = await this._post("/prove_partial", {
+    partial_witness_hex: toHex(partialWitnessBytes),
+  });
+  return fromHex(body.partial_proof_hex);
+};
+
+RlnClient.prototype.finish = async function (partialProofBytes, witnessBytes) {
+  const body = await this._post("/finish", {
+    partial_proof_hex: toHex(partialProofBytes),
+    witness_hex: toHex(witnessBytes),
+  });
+  return fromHex(body.proof_hex);
+};
+
+/** Identity generation (reference wasm_utils Identity/seeded variants);
+ *  seed: optional Uint8Array for deterministic keys (keygen.rs:50). */
+RlnClient.prototype.keygen = async function (seed = null, extended = false) {
+  const payload = { extended };
+  if (seed) payload.seed_hex = toHex(seed);
+  const body = await this._post("/keygen", payload);
+  return new Identity({
+    secret: BigInt("0x" + body.secret),
+    commitment: BigInt("0x" + body.commitment),
+    trapdoor: body.trapdoor ? BigInt("0x" + body.trapdoor) : null,
+    nullifier: body.nullifier ? BigInt("0x" + body.nullifier) : null,
+  });
+};
+
+RlnClient.prototype.poseidon = async function (...inputs) {
+  const body = await this._post("/poseidon", {
+    inputs: inputs.map((v) => BigInt(v).toString(16)),
+  });
+  return BigInt("0x" + body.hash);
+};
+
+RlnClient.prototype.hashPair = function (a, b) {
+  return this.poseidon(a, b);
+};
+
+/** Local values + server pairing: the WasmRLN verifyWithRoots flow. */
+RlnClient.prototype.verifyWithRoots = async function (proofBytes, x, roots) {
+  if (!rootAccepted(proofBytes, roots)) return false;
+  return this.verify(proofBytes, x, roots);
+};
+
+// -- local slashing (reference slashing.rs:12-36; pure bigint math) ----------
+
+export const FR_MODULUS =
+  21888242871839275222246405745257275088548364400416034343698204186575808495617n;
+
+function mod(a, m = FR_MODULUS) {
+  const r = a % m;
+  return r < 0n ? r + m : r;
+}
+
+function invMod(a, m = FR_MODULUS) {
+  // extended Euclid; a must be nonzero mod m
+  let [old_r, r] = [mod(a, m), m];
+  let [old_s, s] = [1n, 0n];
+  while (r !== 0n) {
+    const q = old_r / r;
+    [old_r, r] = [r, old_r - q * r];
+    [old_s, s] = [s, old_s - q * s];
+  }
+  if (old_r !== 1n) throw new Error("not invertible");
+  return mod(old_s, m);
+}
+
+/** Two proofs of the SAME identity/external-nullifier with different
+ *  signals leak the secret: a1 = (y1-y2)/(x1-x2), a0 = y1 - x1*a1
+ *  (compute_id_secret, slashing.rs:12-36). Runs entirely client-side. */
+export function recoverIdSecret(proofBytes1, proofBytes2) {
+  const v1 = parseProof(proofBytes1).values;
+  const v2 = parseProof(proofBytes2).values;
+  if (v1.externalNullifier !== v2.externalNullifier)
+    throw new Error("external nullifiers differ");
+  if (v1.mode !== "single" || v2.mode !== "single")
+    throw new Error("multi-mode slashing: use the engine's recover endpoint");
+  if (v1.nullifier !== v2.nullifier) throw new Error("nullifiers differ");
+  if (v1.x === v2.x) throw new Error("same signal: nothing leaked");
+  const a1 = mod((v1.y - v2.y) * invMod(v1.x - v2.x));
+  return mod(v1.y - v1.x * a1);
+}

@@ -152,6 +152,55 @@ def test_cache_capacity_write_buffer_flush(tmp_path):
     t = PmTree(4, cfg)
     t.set(0, 1)
     t.set(1, 2)
-    assert not os.path.exists(path)  # 2 writes * 40B < 120B: buffered
-    t.set(2, 3)  # 3 * 40 >= 120 -> flushed
+    # 2 writes * 40B < 120B: buffered, nothing durable yet
+    assert not os.path.exists(path) and not os.path.exists(path + ".journal")
+    t.set(2, 3)  # 3 * 40 >= 120 -> journal append (O(delta) durability)
+    assert os.path.exists(path + ".journal")
+
+
+def test_journal_delta_io_and_reload(tmp_path):
+    """Incremental durability is O(delta): between snapshots, writes append
+    40-byte journal records instead of rewriting the full leaf set; reload
+    replays snapshot + journal; a torn tail record is tolerated."""
+    import os
+    import struct
+
+    from zerokit_tpu.tree.pmtree import PmTree, PmTreeConfig
+
+    path = str(tmp_path / "tree.db")
+    cfg = PmTreeConfig.create(
+        path=path, temporary=False, cache_capacity=120, flush_every_ms=10**9
+    )
+    t = PmTree(4, cfg)
+    t.set(0, 111)  # pending (40B < 120B capacity): no I/O yet
+    assert not os.path.exists(path + ".journal")
+    t.set(1, 222)
+    t.set(2, 333)  # 3*40 >= 120 -> journal append, snapshot untouched
+    assert os.path.exists(path + ".journal")
+    assert not os.path.exists(path)  # no full snapshot written yet
+    jsize = os.path.getsize(path + ".journal")
+    t.set(3, 444)
+    t.set(4, 555)
+    t.set(5, 666)
+    grown = os.path.getsize(path + ".journal")
+    assert grown > jsize  # appends, not rewrites
+    root_before = t.root()
+    # reload WITHOUT closing (journal replay path; no snapshot exists)
+    t2 = PmTree(4, cfg)
+    assert t2.root() == root_before
+    assert t2.get(4) == 555
+    assert t2.leaves_set() == 6
+
+    # torn tail: truncate mid-record; earlier records still apply
+    with open(path + ".journal", "ab") as f:
+        f.write(b"\x00" + struct.pack("<Q", 7))  # leaf record missing value
+    t3 = PmTree(4, cfg)
+    assert t3.root() == root_before
+
+    # explicit flush compacts: snapshot written, journal gone
+    t.flush()
     assert os.path.exists(path)
+    assert not os.path.exists(path + ".journal")
+    t4 = PmTree(4, cfg)
+    assert t4.root() == root_before
+    t.close_db_connection()

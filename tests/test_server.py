@@ -182,3 +182,39 @@ def test_http_malformed_requests(http_service):
     assert status == 400 and "error" in data
     status, data = _request(port, "POST", "/verify", {"proof_hex": "00"})
     assert status == 400 and "error" in data
+
+
+def test_http_keygen_and_poseidon(http_service):
+    """Round-3 endpoints backing the JS client's Identity/Merkle helpers."""
+    _, _, port = http_service
+    status, data = _request(port, "POST", "/keygen", {"seed_hex": b"js-seed".hex()})
+    assert status == 200
+    from zerokit_tpu.protocol.keygen import seeded_keygen
+
+    sk, pk = seeded_keygen(b"js-seed")
+    assert int(data["secret"], 16) == int(sk)
+    assert int(data["commitment"], 16) == pk
+
+    status, data = _request(port, "POST", "/keygen", {"extended": True})
+    assert status == 200
+    assert set(data) == {"trapdoor", "nullifier", "secret", "commitment"}
+
+    from zerokit_tpu.hash.poseidon import poseidon_hash
+
+    status, data = _request(port, "POST", "/poseidon", {"inputs": ["ab", "3"]})
+    assert status == 200
+    assert int(data["hash"], 16) == poseidon_hash([0xAB, 3])
+
+
+def test_http_partial_finish_routing(http_service):
+    """/prove_partial and /finish route to the engine (stub: no partial
+    support -> clean 400 error, no crash)."""
+    _, _, port = http_service
+    status, data = _request(
+        port, "POST", "/prove_partial", {"partial_witness_hex": "00"}
+    )
+    assert status == 400 and "error" in data
+    status, data = _request(
+        port, "POST", "/finish", {"partial_proof_hex": "00", "witness_hex": "00"}
+    )
+    assert status == 400 and "error" in data

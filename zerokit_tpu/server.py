@@ -92,7 +92,14 @@ class ProverService:
             for pending in batch:
                 pending.event.set()
 
-    def prove(self, witness_bytes: bytes, timeout: float = 600.0) -> bytes:
+    def prove(self, witness_bytes: bytes, timeout: Optional[float] = None) -> bytes:
+        if timeout is None:
+            # default must cover a COLD pipeline compile on the tunneled TPU
+            # backend (~10-15 min for the full program set, one-time per
+            # process); steady-state proves return in well under a second
+            import os
+
+            timeout = float(os.environ.get("ZK_PROVE_TIMEOUT_S", "1800"))
         witness, _ = bytes_to_rln_witness(witness_bytes)
         pending = _PendingRequest(witness)
         self.queue.put(pending)
@@ -101,6 +108,28 @@ class ProverService:
         if pending.error:
             raise errors.GenerateProofError(pending.error)
         return pending.result
+
+    def prove_partial(self, partial_witness_bytes: bytes) -> bytes:
+        """Two-phase prove, phase 1 (reference proof.rs:783
+        generate_partial_zk_proof): partial-witness wire in, serialized
+        PartialProof out. Runs inline — the precompute is per-identity, not
+        per-message, so it is not micro-batched."""
+        from .protocol.serialize import (
+            bytes_to_rln_partial_witness,
+            rln_partial_proof_to_bytes,
+        )
+
+        pw, _ = bytes_to_rln_partial_witness(partial_witness_bytes)
+        return rln_partial_proof_to_bytes(self.rln.generate_partial_proof(pw))
+
+    def finish(self, partial_proof_bytes: bytes, witness_bytes: bytes) -> bytes:
+        """Two-phase prove, phase 2 (proof.rs:806 finish_zk_proof)."""
+        from .protocol.serialize import bytes_to_rln_partial_proof
+
+        partial = bytes_to_rln_partial_proof(partial_proof_bytes)
+        witness, _ = bytes_to_rln_witness(witness_bytes)
+        proof, values = self.rln.finish_proof(partial, witness)
+        return rln_proof_to_bytes(RLNProof(proof=proof, proof_values=values))
 
     def verify(self, proof_bytes: bytes, x: Optional[int], roots: List[int]) -> bool:
         rln_proof, _ = bytes_to_rln_proof(proof_bytes)
@@ -150,6 +179,49 @@ def make_handler(service: ProverService):
                 if self.path == "/prove":
                     proof = service.prove(bytes.fromhex(payload["witness_hex"]))
                     self._reply(200, {"proof_hex": proof.hex()})
+                elif self.path == "/prove_partial":
+                    out = service.prove_partial(
+                        bytes.fromhex(payload["partial_witness_hex"])
+                    )
+                    self._reply(200, {"partial_proof_hex": out.hex()})
+                elif self.path == "/finish":
+                    out = service.finish(
+                        bytes.fromhex(payload["partial_proof_hex"]),
+                        bytes.fromhex(payload["witness_hex"]),
+                    )
+                    self._reply(200, {"proof_hex": out.hex()})
+                elif self.path == "/keygen":
+                    from .protocol.keygen import (
+                        extended_keygen,
+                        extended_seeded_keygen,
+                        keygen,
+                        seeded_keygen,
+                    )
+
+                    seed = payload.get("seed_hex")
+                    seed_b = bytes.fromhex(seed) if seed else None
+                    if payload.get("extended"):
+                        parts = (
+                            extended_seeded_keygen(seed_b)
+                            if seed_b
+                            else extended_keygen()
+                        )
+                        names = ("trapdoor", "nullifier", "secret", "commitment")
+                        self._reply(
+                            200,
+                            {k: format(int(v), "x") for k, v in zip(names, parts)},
+                        )
+                    else:
+                        sk, pk = seeded_keygen(seed_b) if seed_b else keygen()
+                        self._reply(
+                            200,
+                            {"secret": format(int(sk), "x"), "commitment": format(pk, "x")},
+                        )
+                elif self.path == "/poseidon":
+                    from .hash.poseidon import poseidon_hash
+
+                    vals = [int(v, 16) for v in payload["inputs"]]
+                    self._reply(200, {"hash": format(poseidon_hash(vals), "x")})
                 elif self.path == "/verify":
                     x = payload.get("x")
                     valid = service.verify(

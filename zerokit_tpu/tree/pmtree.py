@@ -126,10 +126,13 @@ class PmTree:
         self._inner = OptimalMerkleTree(depth)
         self._metadata = b""
         self._dirty = False
+        self._pending: set = set()  # dirty leaf indices awaiting a journal append
+        self._meta_dirty = False
         self._last_flush = time.monotonic()
         self._closed = False
         if os.path.exists(self.config.path):
             self._load(depth)
+        self._replay_journal()
 
     # -- storage ------------------------------------------------------------
 
@@ -165,6 +168,10 @@ class PmTree:
         self._inner.next_index = next_index
 
     def flush(self) -> None:
+        """Full snapshot + journal truncation (compaction). Incremental
+        durability between snapshots goes through the append-only journal
+        (_journal_flush) so steady-state I/O is O(delta), not O(tree) —
+        sled's log-structured behavior, pm_tree_adapter.rs:184+ semantics."""
         entries = [
             (int(i), self._inner.get(int(i)))
             for i in range(self._inner.next_index)
@@ -188,30 +195,99 @@ class PmTree:
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, self.config.path)
+        if os.path.exists(self._journal_path()):
+            os.unlink(self._journal_path())
+        self._pending.clear()
+        self._meta_dirty = False
         self._dirty = False
-        self._dirty_writes = 0
         self._last_flush = time.monotonic()
 
-    def _maybe_flush(self) -> None:
-        """Durability pressure: flush when flush_every_ms has elapsed OR the
-        write buffer exceeds cache_capacity bytes (the role sled's page-cache
-        bound plays for its flusher; pm_tree_adapter.rs config keys)."""
+    # -- append-only journal (tags: 0 leaf, 1 next_index, 2 metadata) --------
+
+    def _journal_path(self) -> str:
+        return self.config.path + ".journal"
+
+    def _journal_flush(self) -> None:
+        """Appends the buffered writes: O(delta) bytes, values read at append
+        time. Compaction (full snapshot) kicks in once the journal outgrows
+        the live entry set."""
+        if not (self._pending or self._meta_dirty):
+            self._last_flush = time.monotonic()
+            return
+        with open(self._journal_path(), "ab") as f:
+            for idx in sorted(self._pending):
+                val = self._inner.get(int(idx))
+                f.write(b"\x00" + struct.pack("<Q", idx) + int(val).to_bytes(32, "little"))
+            f.write(b"\x01" + struct.pack("<Q", self._inner.next_index))
+            if self._meta_dirty:
+                f.write(b"\x02" + struct.pack("<Q", len(self._metadata)) + self._metadata)
+            f.flush()
+            size = f.tell()
+        self._pending.clear()
+        self._meta_dirty = False
+        self._dirty = False
+        self._last_flush = time.monotonic()
+        live = sum(self._inner.cached_leaves_indices[: self._inner.next_index])
+        if size > max(1 << 20, 2 * _ENTRY_BYTES * live):
+            self.flush()
+
+    def _replay_journal(self) -> None:
+        path = self._journal_path()
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
+            data = f.read()
+        off = 0
+        try:
+            while off < len(data):
+                tag = data[off]
+                off += 1
+                if tag == 0:
+                    (idx,) = struct.unpack_from("<Q", data, off)
+                    off += 8
+                    val = int.from_bytes(data[off : off + 32], "little")
+                    off += 32
+                    self._inner.set(idx, val)
+                    self._inner.cached_leaves_indices[idx] = 1 if val != 0 else 0
+                elif tag == 1:
+                    (self._inner.next_index,) = struct.unpack_from("<Q", data, off)
+                    off += 8
+                elif tag == 2:
+                    (mlen,) = struct.unpack_from("<Q", data, off)
+                    off += 8
+                    self._metadata = data[off : off + mlen]
+                    off += mlen
+                else:
+                    break  # corrupt tag: stop at the last good record
+        except (struct.error, IndexError):
+            pass  # torn tail write: everything before it is applied
+
+    def _maybe_flush(self, entries=None, meta: bool = False) -> None:
+        """Durability pressure: journal-append when flush_every_ms has
+        elapsed OR the buffered delta exceeds cache_capacity bytes (the role
+        sled's page-cache bound plays for its flusher; pm_tree_adapter.rs
+        config keys). cache_capacity bounds ACTUAL buffered bytes now —
+        flushing is O(buffered delta), never a full-tree rewrite."""
         self._dirty = True
-        self._dirty_writes = getattr(self, "_dirty_writes", 0) + 1
+        if entries is not None:
+            self._pending.update(int(i) for i in entries)
+        if meta:
+            self._meta_dirty = True
         if (
             (time.monotonic() - self._last_flush) * 1000.0 >= self.config.flush_every_ms
-            or self._dirty_writes * _ENTRY_BYTES >= self.config.cache_capacity
+            or len(self._pending) * _ENTRY_BYTES >= self.config.cache_capacity
         ):
-            self.flush()
+            self._journal_flush()
 
     def close_db_connection(self) -> None:
         if self._closed:
             return
         if self.config.temporary:
-            if os.path.exists(self.config.path):
-                os.unlink(self.config.path)
-        elif self._dirty:
-            self.flush()
+            for p in (self.config.path, self._journal_path()):
+                if os.path.exists(p):
+                    os.unlink(p)
+        elif self._dirty or os.path.exists(self._journal_path()):
+            self.flush()  # compacting: snapshot + journal truncation
         self._closed = True
 
     # -- tree API (delegation + pmtree-specific dispatch) --------------------
@@ -239,22 +315,22 @@ class PmTree:
 
     def set(self, index: int, leaf: int) -> None:
         self._inner.set(index, leaf)
-        self._maybe_flush()
+        self._maybe_flush([index])
 
     def set_range(self, start: int, leaves: Sequence[int]) -> None:
         self._inner.set_range(start, leaves)
-        self._maybe_flush()
+        self._maybe_flush(range(start, start + len(leaves)))
 
     def update_next(self, leaf: int) -> None:
         self._inner.update_next(leaf)
-        self._maybe_flush()
+        self._maybe_flush([self._inner.next_index - 1])
 
     def delete(self, index: int) -> None:
         # pmtree errors on deleting a never-set leaf (unlike Full/Optimal)
         if index >= self._inner.next_index:
             raise InvalidLeaf("cannot delete a leaf that was never set")
         self._inner.delete(index)
-        self._maybe_flush()
+        self._maybe_flush([index])
 
     def override_range(
         self, start: int, leaves: Sequence[int], to_remove_indices: Sequence[int]
@@ -275,7 +351,7 @@ class PmTree:
         if not leaves:
             for i in indices:
                 self._inner.delete(i)
-            self._maybe_flush()
+            self._maybe_flush(indices)
             return
         # combined remove + set, atomic from the caller's view:
         # apply removes below start then write the whole window
@@ -294,7 +370,7 @@ class PmTree:
         for i in indices:
             if i < max_index:
                 self._inner.cached_leaves_indices[i] = 0
-        self._maybe_flush()
+        self._maybe_flush(list(range(min_index, max_index)) + list(indices))
 
     def proof(self, index: int) -> MerkleProof:
         return self._inner.proof(index)
@@ -306,7 +382,7 @@ class PmTree:
 
     def set_metadata(self, metadata: bytes) -> None:
         self._metadata = bytes(metadata)
-        self._maybe_flush()
+        self._maybe_flush(meta=True)
 
     def metadata(self) -> bytes:
         return self._metadata
