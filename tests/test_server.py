@@ -218,3 +218,39 @@ def test_http_partial_finish_routing(http_service):
         port, "POST", "/finish", {"partial_proof_hex": "00", "witness_hex": "00"}
     )
     assert status == 400 and "error" in data
+
+
+def test_finish_decodes_partial_proof_wire():
+    """Regression: bytes_to_rln_partial_proof returns (obj, read); both the
+    server and the FFI glue must unpack it (a tuple leaked through to
+    finish_proof and failed only when the two-phase flow was driven)."""
+    from zerokit_tpu.groth16.prover import PartialProof
+    from zerokit_tpu.protocol.serialize import (
+        bytes_to_rln_partial_proof,
+        rln_partial_proof_to_bytes,
+    )
+
+    p = PartialProof(
+        mask=[True, False, True],
+        partial_pi_a=bn254.G1.mul(bn254.G1_GENERATOR, 3),
+        partial_rho=bn254.G1.mul(bn254.G1_GENERATOR, 5),
+        partial_pi_b=bn254.G2.mul(bn254.G2_GENERATOR, 7),
+        partial_pi_c=bn254.G1.mul(bn254.G1_GENERATOR, 9),
+    )
+    wire = rln_partial_proof_to_bytes(p)
+
+    class FinishCapture:
+        def finish_proof(self, partial, witness):
+            assert isinstance(partial, PartialProof)  # not a (obj, read) tuple
+            assert partial.mask == p.mask
+            raise RuntimeError("stop-after-decode")
+
+    svc = ProverService.__new__(ProverService)
+    svc.rln = FinishCapture()
+    with pytest.raises(RuntimeError, match="stop-after-decode"):
+        svc.finish(wire, rln_witness_to_bytes(_witness(1)))
+
+    import zerokit_tpu.ffi_glue as glue
+
+    obj, read = bytes_to_rln_partial_proof(wire)
+    assert read == len(wire) and isinstance(obj, PartialProof)

@@ -240,7 +240,7 @@ def generate_partial_proof(handle: int, partial_witness_bytes: bytes, be: bool) 
 
 def finish_proof(handle: int, partial_proof_bytes: bytes, witness_bytes: bytes, be: bool) -> bytes:
     rln = _get(handle)
-    partial = ser.bytes_to_rln_partial_proof(partial_proof_bytes)
+    partial, _ = ser.bytes_to_rln_partial_proof(partial_proof_bytes)
     witness, _ = ser.bytes_to_rln_witness(witness_bytes, be)
     proof, values = rln.finish_proof(partial, witness)
     return ser.proof_v3_to_bytes(proof, values)

@@ -126,7 +126,7 @@ class ProverService:
         """Two-phase prove, phase 2 (proof.rs:806 finish_zk_proof)."""
         from .protocol.serialize import bytes_to_rln_partial_proof
 
-        partial = bytes_to_rln_partial_proof(partial_proof_bytes)
+        partial, _ = bytes_to_rln_partial_proof(partial_proof_bytes)
         witness, _ = bytes_to_rln_witness(witness_bytes)
         proof, values = self.rln.finish_proof(partial, witness)
         return rln_proof_to_bytes(RLNProof(proof=proof, proof_values=values))
