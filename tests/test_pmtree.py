@@ -122,7 +122,7 @@ def test_proof_and_verify(tmp_path):
 
 
 def test_compression_roundtrip(tmp_path):
-    from zerokit_tpu.tree.pmtree import MAGIC_Z, PmTree, PmTreeConfig
+    from zerokit_tpu.tree.pmtree import MAGIC_Z2 as MAGIC_Z, PmTree, PmTreeConfig
 
     path = str(tmp_path / "ztree.db")
     cfg = PmTreeConfig.create(path=path, temporary=False, use_compression=True)
@@ -204,3 +204,33 @@ def test_journal_delta_io_and_reload(tmp_path):
     t4 = PmTree(4, cfg)
     assert t4.root() == root_before
     t.close_db_connection()
+
+
+def test_stale_journal_skipped_after_compaction_crash(tmp_path):
+    """Crash between snapshot replace and journal unlink must NOT replay the
+    pre-compaction journal over the newer snapshot (generation stamping)."""
+    import shutil
+
+    from zerokit_tpu.tree.pmtree import PmTree, PmTreeConfig
+
+    path = str(tmp_path / "tree.db")
+    cfg = PmTreeConfig.create(
+        path=path, temporary=False, cache_capacity=40, flush_every_ms=10**9
+    )
+    t = PmTree(4, cfg)
+    t.set(0, 111)  # journal append (cache_capacity=40 -> immediate)
+    journal = path + ".journal"
+    assert os.path.exists(journal)
+    stale = str(tmp_path / "stale.journal")
+    shutil.copy(journal, stale)  # the journal as of generation g
+    t.flush()  # compaction: snapshot at generation g+1, journal unlinked
+    t.set(0, 999)  # post-compaction value, journaled then compacted again
+    t.flush()
+    root_after = t.root()
+    # simulate the crash window: stale journal resurfaces next to the
+    # newer snapshot
+    shutil.copy(stale, journal)
+    t2 = PmTree(4, cfg)
+    assert t2.get(0) == 999  # stale record (0 -> 111) must not re-apply
+    assert t2.root() == root_after
+    assert not os.path.exists(journal)  # stale journal discarded on open

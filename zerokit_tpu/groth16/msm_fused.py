@@ -61,6 +61,8 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int):
     n_groups = n_windows // group
     assert n & (n - 1) == 0, "fused MSM requires power-of-two base size"
     idx_bits = n.bit_length() - 1
+    # packed sort keys are (digit << idx_bits) | index in uint32
+    assert c_bits + idx_bits <= 32, "packed sort key overflows uint32"
     per_limb = 16 // c_bits
     mask = np.uint32(n_buckets - 1)
 

@@ -156,13 +156,16 @@ def run_toy(n_devices: int) -> None:
     mapper = WitnessMapper(matrices)
     _log("toy tier: setup done")
 
-    # Witness values stay < 2^16 so the device MSM scalars fit in 2 windows.
+    # Witness values stay < 2^16 INDEPENDENT of dp (w1 <= 18 -> w1^3 < 2^16)
+    # so the device MSM scalars always fit the 4x4-bit window config; a
+    # dp-dependent bound silently truncated digits on large virtual meshes.
     B = 2 * dp
     rows = []
     for i in range(B):
-        w1 = 3 + i
+        w1 = 3 + (i % 16)
         w2 = w1 * w1
         rows.append([1, w2 * w1, w1, w2])
+    assert max(r[1] for r in rows) < (1 << 16), "toy witness exceeds window range"
     flat = [rows[b][i] for i in range(4) for b in range(B)]
     canon = encode_canonical_fast(flat).reshape(NUM_LIMBS, 4, B)
     assignment = FrField.to_mont(jnp.asarray(canon))

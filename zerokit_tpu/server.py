@@ -14,6 +14,14 @@ and serves:
 
 Wire payloads are the byte-exact v2 formats (protocol/serialize.py), so any
 zerokit-compatible client can drive it.
+
+SECURITY: the service is plaintext HTTP with no authentication, and /prove
+witnesses plus /keygen responses carry identity secrets. Deploy it ONLY on a
+trusted transport (loopback, or behind TLS termination on a private
+network); anyone on the network path learns every secret that transits.
+Clients that can do local crypto (clients/js when Node/browser bigint is
+available) should keep keygen/identity local and use the service only for
+proving (the reference's rln-wasm keeps keygen client-side for this reason).
 """
 
 from __future__ import annotations

@@ -40,6 +40,9 @@ from .merkle import (
 
 MAGIC = b"zktpu.pmtree.v1\n"
 MAGIC_Z = b"zktpu.pmtree.z1\n"  # zlib-compressed body (use_compression=true)
+MAGIC_V2 = b"zktpu.pmtree.v2\n"  # v1 + generation stamp
+MAGIC_Z2 = b"zktpu.pmtree.x2\n"  # compressed v2 body
+JOURNAL_MAGIC = b"zktpu.pmjournal1"  # 16 bytes + <Q generation
 _ENTRY_BYTES = 40  # 8-byte index + 32-byte leaf, for the write-buffer bound
 
 DEFAULT_TEMPORARY = True
@@ -125,6 +128,7 @@ class PmTree:
             raise InvalidDepth("config tree_depth disagrees with requested depth")
         self._inner = OptimalMerkleTree(depth)
         self._metadata = b""
+        self._generation = 0  # bumped on every compaction (snapshot rewrite)
         self._dirty = False
         self._pending: set = set()  # dirty leaf indices awaiting a journal append
         self._meta_dirty = False
@@ -143,9 +147,18 @@ class PmTree:
             import zlib
 
             data = MAGIC + zlib.decompress(data[len(MAGIC_Z) :])
-        if not data.startswith(MAGIC):
+        elif data.startswith(MAGIC_Z2):
+            import zlib
+
+            data = MAGIC_V2 + zlib.decompress(data[len(MAGIC_Z2) :])
+        if data.startswith(MAGIC_V2):
+            off = len(MAGIC_V2)
+            (self._generation,) = struct.unpack_from("<Q", data, off)
+            off += 8
+        elif data.startswith(MAGIC):
+            off = len(MAGIC)  # legacy v1 snapshot: generation 0
+        else:
             raise MerkleTreeError("not a pmtree snapshot file")
-        off = len(MAGIC)
         stored_depth, next_index, n_entries, meta_len = struct.unpack_from("<QQQQ", data, off)
         if stored_depth != depth:
             raise InvalidDepth(
@@ -177,7 +190,13 @@ class PmTree:
             for i in range(self._inner.next_index)
             if self._inner.cached_leaves_indices[i]
         ]
-        payload = MAGIC + struct.pack(
+        # Generation stamp: a crash between os.replace and the journal unlink
+        # leaves a stale journal next to the NEW snapshot; the bumped
+        # generation makes _replay_journal skip (and delete) it instead of
+        # silently reverting post-journal writes (advisor round-3 finding).
+        self._generation += 1
+        payload = MAGIC_V2 + struct.pack("<Q", self._generation)
+        payload += struct.pack(
             "<QQQQ",
             self._inner.depth(),
             self._inner.next_index,
@@ -190,11 +209,14 @@ class PmTree:
         if self.config.use_compression:
             import zlib
 
-            payload = MAGIC_Z + zlib.compress(payload[len(MAGIC) :], 6)
+            payload = MAGIC_Z2 + zlib.compress(payload[len(MAGIC_V2) :], 6)
         tmp = self.config.path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self.config.path)
+        self._fsync_dir()
         if os.path.exists(self._journal_path()):
             os.unlink(self._journal_path())
         self._pending.clear()
@@ -207,6 +229,18 @@ class PmTree:
     def _journal_path(self) -> str:
         return self.config.path + ".journal"
 
+    def _fsync_dir(self) -> None:
+        """Best-effort fsync of the containing directory (rename durability)."""
+        d = os.path.dirname(os.path.abspath(self.config.path)) or "."
+        try:
+            fd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except OSError:
+            pass
+
     def _journal_flush(self) -> None:
         """Appends the buffered writes: O(delta) bytes, values read at append
         time. Compaction (full snapshot) kicks in once the journal outgrows
@@ -214,7 +248,10 @@ class PmTree:
         if not (self._pending or self._meta_dirty):
             self._last_flush = time.monotonic()
             return
+        fresh = not os.path.exists(self._journal_path())
         with open(self._journal_path(), "ab") as f:
+            if fresh:  # stamp which snapshot generation this journal extends
+                f.write(JOURNAL_MAGIC + struct.pack("<Q", self._generation))
             for idx in sorted(self._pending):
                 val = self._inner.get(int(idx))
                 f.write(b"\x00" + struct.pack("<Q", idx) + int(val).to_bytes(32, "little"))
@@ -222,12 +259,15 @@ class PmTree:
             if self._meta_dirty:
                 f.write(b"\x02" + struct.pack("<Q", len(self._metadata)) + self._metadata)
             f.flush()
+            os.fsync(f.fileno())
             size = f.tell()
         self._pending.clear()
         self._meta_dirty = False
         self._dirty = False
         self._last_flush = time.monotonic()
-        live = sum(self._inner.cached_leaves_indices[: self._inner.next_index])
+        # ndarray.sum() promotes the accumulator; builtin sum() over uint8
+        # scalars wraps at 256 and collapses the compaction bound
+        live = int(self._inner.cached_leaves_indices[: self._inner.next_index].sum())
         if size > max(1 << 20, 2 * _ENTRY_BYTES * live):
             self.flush()
 
@@ -238,6 +278,17 @@ class PmTree:
         with open(path, "rb") as f:
             data = f.read()
         off = 0
+        if data.startswith(JOURNAL_MAGIC):
+            (gen,) = struct.unpack_from("<Q", data, len(JOURNAL_MAGIC))
+            off = len(JOURNAL_MAGIC) + 8
+            if gen != self._generation:
+                # stale journal from before the last compaction (crash landed
+                # between snapshot replace and journal unlink): discard it
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+                return
         try:
             while off < len(data):
                 tag = data[off]
