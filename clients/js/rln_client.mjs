@@ -247,6 +247,46 @@ export class Identity {
     this.trapdoor = trapdoor;
     this.nullifier = nullifier;
   }
+
+  /** Local keygen (crypto.mjs): secrets never leave the client — the same
+   *  capability as the reference's in-browser keygen (wasm_utils.rs:233+).
+   *  Replaces the server /keygen round-trip for identity creation. */
+  static async generate() {
+    const { keygen } = await import("./crypto.mjs");
+    const k = keygen();
+    return new Identity({ secret: k.idSecret, commitment: k.idCommitment });
+  }
+
+  static async fromSeed(signalBytes) {
+    const { seededKeygen } = await import("./crypto.mjs");
+    const k = seededKeygen(signalBytes);
+    return new Identity({ secret: k.idSecret, commitment: k.idCommitment });
+  }
+
+  static async generateExtended() {
+    const { extendedKeygen } = await import("./crypto.mjs");
+    const k = extendedKeygen();
+    return new Identity({
+      secret: k.idSecret, commitment: k.idCommitment,
+      trapdoor: k.trapdoor, nullifier: k.nullifier,
+    });
+  }
+
+  static async extendedFromSeed(signalBytes) {
+    const { extendedSeededKeygen } = await import("./crypto.mjs");
+    const k = extendedSeededKeygen(signalBytes);
+    return new Identity({
+      secret: k.idSecret, commitment: k.idCommitment,
+      trapdoor: k.trapdoor, nullifier: k.nullifier,
+    });
+  }
+}
+
+/** Local Poseidon pair hash for MerkleTree — removes the HTTP round-trip
+ *  per hash (a depth-20 insert previously cost ~20 /poseidon calls). */
+export async function localHashPair(a, b) {
+  const { poseidonHashPair } = await import("./crypto.mjs");
+  return poseidonHashPair(a, b);
 }
 
 export class MerkleTree {

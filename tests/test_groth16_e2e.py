@@ -34,19 +34,23 @@ MATRICES = ConstraintMatrices(
 )
 
 
-def _make_prover(zkey):
+def _make_prover(zkey, make=MSM):
+    """make=MSM exercises the device MSM pipeline (slow-marked tests: each
+    EC program costs minutes of XLA:CPU compile); pass HostMSM for fast-tier
+    tests of prover logic above the MSM backend."""
     prover = Groth16Prover.__new__(Groth16Prover)
     prover.zkey = zkey
     prover.graph = None
+    prover.mesh = None
     prover.evaluator = None
     prover.num_inputs = 2
     prover.n_wires = 4
     prover.mapper = WitnessMapper(MATRICES)
-    prover.msm_a = MSM(zkey.pk.a_query, FqAdapter)
-    prover.msm_b1 = MSM(zkey.pk.b_g1_query, FqAdapter)
-    prover.msm_b2 = MSM(zkey.pk.b_g2_query, Fq2Adapter)
-    prover.msm_h = MSM(zkey.pk.h_query, FqAdapter)
-    prover.msm_l = MSM(zkey.pk.l_query, FqAdapter)
+    prover.msm_a = make(zkey.pk.a_query, FqAdapter)
+    prover.msm_b1 = make(zkey.pk.b_g1_query, FqAdapter)
+    prover.msm_b2 = make(zkey.pk.b_g2_query, Fq2Adapter)
+    prover.msm_h = make(zkey.pk.h_query, FqAdapter)
+    prover.msm_l = make(zkey.pk.l_query, FqAdapter)
     return prover
 
 
@@ -106,3 +110,39 @@ def test_partial_then_finish_matches_full():
     # deterministic: partial+finish equals full prove with the same r, s
     full = prover.prove_batch_with_assignment(assignment, [5], [7])[0]
     assert proof2 == full
+
+
+def test_verify_batch_random_combination():
+    """verify_batch (random-linear-combination multi-pairing, B+3 Miller
+    loops + one final exp) accepts valid batches and pinpoints corruption.
+    The reference has no batch verifier (proof.rs:856-894 is per-proof);
+    this covers the new serving-path API."""
+    from zerokit_tpu.groth16.verifier import verify_batch
+
+    rng = random.Random(55)
+    zkey = groth16_setup(MATRICES, rng)
+    from zerokit_tpu.groth16.msm_host import HostMSM
+
+    prover = _make_prover(zkey, make=HostMSM)
+    rows, assignment = _assignments(rng, 4)
+    rs = [rng.randrange(R) for _ in range(4)]
+    ss = [rng.randrange(R) for _ in range(4)]
+    proofs = prover.prove_batch_with_assignment(assignment, rs, ss)
+    pubs = [[rows[b][1]] for b in range(4)]
+    pvk = prepare_verifying_key(zkey.pk.vk)
+    check_rng = random.Random(99)
+    assert verify_batch(pvk, proofs, pubs, rng=check_rng)
+    # single-element batch delegates to verify_proof
+    assert verify_batch(pvk, proofs[:1], pubs[:1])
+    # empty batch is vacuously true
+    assert verify_batch(pvk, [], [])
+    # a corrupted proof fails the whole batch
+    from zerokit_tpu.hostmath import bn254
+
+    bad = list(proofs)
+    bad[1] = (bad[1][0], bad[1][1], bn254.G1.add(bad[1][2], bn254.G1_GENERATOR))
+    assert not verify_batch(pvk, bad, pubs, rng=random.Random(7))
+    # a corrupted public input fails too
+    bad_pubs = [list(p) for p in pubs]
+    bad_pubs[3][0] = (bad_pubs[3][0] + 1) % R
+    assert not verify_batch(pvk, proofs, bad_pubs, rng=random.Random(8))

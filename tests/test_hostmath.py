@@ -78,3 +78,81 @@ def test_proof_serde_roundtrip():
     data = arkserde.proof_to_bytes(proof)
     assert len(data) == 128
     assert arkserde.proof_from_bytes(data) == proof
+
+
+# ---------------------------------------------------------------------------
+# Native tower pairing (native/pairing.cpp) vs the Python oracle
+# ---------------------------------------------------------------------------
+
+
+def _native_pairing_available():
+    from zerokit_tpu.runtime import native
+
+    return native.pairing_available()
+
+
+needs_native = pytest.mark.skipif(
+    not _native_pairing_available(), reason="librln_native.so not built"
+)
+
+
+@needs_native
+def test_native_g1_msm_matches_host():
+    from zerokit_tpu.runtime import native
+
+    rnd = random.Random(31)
+    pts = [bn254.G1.mul(bn254.G1_GENERATOR, rnd.randrange(R)) for _ in range(5)]
+    pts.append(None)  # infinity entry is skipped
+    scal = [rnd.randrange(R) for _ in range(6)]
+    got = native.g1_msm_native(pts, scal)
+    want = bn254.G1.msm(pts[:5], scal[:5])
+    assert got == want
+    # zero combination -> infinity encoded as None
+    assert native.g1_msm_native(pts[:1], [0]) is None
+
+
+@needs_native
+def test_native_multi_pairing_cancellation():
+    from zerokit_tpu.runtime import native
+
+    rnd = random.Random(32)
+    a, b = rnd.randrange(R), rnd.randrange(R)
+    P = bn254.G1.mul(bn254.G1_GENERATOR, a)
+    Q = bn254.G2.mul(bn254.G2_GENERATOR, b)
+    # e(P, Q) * e(-P, Q) == 1
+    assert native.multi_pairing_is_one_native([(P, Q), (bn254.G1.neg(P), Q)])
+    # e(P, Q) * e(P, Q) != 1
+    assert not native.multi_pairing_is_one_native([(P, Q), (P, Q)])
+    # bilinearity: e(aG, bH) * e(-abG, H) == 1
+    ab = bn254.G1.mul(bn254.G1_GENERATOR, (-a * b) % R)
+    assert native.multi_pairing_is_one_native([(P, Q), (ab, bn254.G2_GENERATOR)])
+
+
+@needs_native
+@pytest.mark.slow
+def test_native_pairing_matches_python_oracle():
+    """Full cross-check: the native tower pairing output equals the Python
+    flattened-basis pairing after the basis change u = w^6 - 9, v = w^2."""
+    import ctypes
+
+    from zerokit_tpu.constants import Q
+    from zerokit_tpu.runtime.native import _g1_bytes, _g2_bytes, _load
+
+    lib = _load()
+    rnd = random.Random(33)
+    P = bn254.G1.mul(bn254.G1_GENERATOR, rnd.randrange(R))
+    Qp = bn254.G2.mul(bn254.G2_GENERATOR, rnd.randrange(R))
+    out = ctypes.create_string_buffer(384)
+    assert lib.rln_pairing(_g1_bytes(P), _g2_bytes(Qp), out) == 0
+    coeffs = [
+        int.from_bytes(out.raw[32 * i : 32 * (i + 1)], "little") for i in range(12)
+    ]
+    # tower coeff i of Fq2 at w-power pos -> flattened w-basis
+    flat = [0] * 12
+    pos_of = [0, 2, 4, 1, 3, 5]  # a.c0, a.c1, a.c2, b.c0, b.c1, b.c2
+    for i in range(6):
+        x, y = coeffs[2 * i], coeffs[2 * i + 1]
+        p0 = pos_of[i]
+        flat[p0] = (flat[p0] + x - 9 * y) % Q
+        flat[p0 + 6] = (flat[p0 + 6] + y) % Q
+    assert tuple(flat) == bn254.pairing(Qp, P)

@@ -103,7 +103,9 @@ def test_mesh_prover_full_proof_parity():
         from zerokit_tpu.groth16.qap import WitnessMapper
         from zerokit_tpu.parallel.sharded import ShardedMSM
 
-        prover.mapper = WitnessMapper(matrices)
+        # mesh=mesh so the full-proof path exercises _coset_lift_sharded
+        # (the sharded Bailey-NTT QAP), not just the standalone map test
+        prover.mapper = WitnessMapper(matrices, mesh=mesh)
         if mesh is not None:
             mk = lambda pts, ad: ShardedMSM(pts, ad, mesh)
         else:

@@ -309,6 +309,17 @@ class RLN:
     def verify(self, proof, values: RLNProofValues) -> bool:
         return verify_proof(self.pvk, proof, rln_public_inputs(values))
 
+    def verify_batch(self, proofs: Sequence, values_list: Sequence[RLNProofValues]) -> bool:
+        """Batched verification: one random-linear-combination multi-pairing
+        (B+3 Miller loops + one final exponentiation) instead of B full
+        verifies. The serving-path dual of the batch-first prover; the
+        reference verifies one proof per call (proof.rs:856-894)."""
+        from .groth16.verifier import verify_batch
+
+        return verify_batch(
+            self.pvk, proofs, [rln_public_inputs(v) for v in values_list]
+        )
+
     def verify_rln_proof(self, proof, values: RLNProofValues, x: int) -> bool:
         """Stateful verify against the current tree root (public.rs:725-745)."""
         if not self.verify(proof, values):

@@ -53,6 +53,10 @@ _LANE_W_BY_KERNEL = {
     "g2_add": 128,
     "g2_add_mixed": 128,
     "g2_double": 256,
+    "g1_scan_mixed": 256,
+    "g1_scan_excl": 256,
+    "g2_scan_mixed": 128,
+    "g2_scan_excl": 128,
 }
 
 
@@ -517,6 +521,143 @@ _KERNELS = {
     "g2_add_mixed": (_make_ec_kernel(2, "add_mixed"), None),
     "g2_double": (_make_ec_kernel(2, "double"), None),
 }
+
+
+# --------------------------------------------------------------------------
+# Grid-carry EC prefix scans (the fused MSM's hot stages)
+#
+# A lax.scan of per-step EC kernel calls round-trips the carry point through
+# HBM on every step and pays the kernel pipeline setup k times. These scans
+# run the WHOLE prefix as one pallas_call: grid = (lane_blocks, k) with k
+# innermost, the running carry lives in a VMEM scratch that persists across
+# grid steps (TPU grids execute sequentially), and each step reads/writes
+# only its own (8, W) lane block. Two variants:
+#   * scan_mixed — inclusive prefixes of AFFINE inputs (the fine intra-block
+#     stage): out[j] = sum_{t<=j} aff[t], via identity-initialized carry +
+#     complete mixed adds.
+#   * scan_excl  — exclusive prefixes of PROJECTIVE inputs (the coarse
+#     cross-block stage): out[j] = sum_{t<j} x[t].
+# --------------------------------------------------------------------------
+
+
+def _scan_identity_rows(like, components: int):
+    """(0, 1, 0) in LIMB-MAJOR row order ((i*C + m)*3 + c) shaped like `like`."""
+    C = components
+    zero = jnp.zeros_like(like)
+    rows = []
+    for i in range(L):
+        for m in range(C):
+            one_v = (
+                jnp.full_like(like, np.uint32(ROW_FQ.one_limbs[i])) if m == 0 else zero
+            )
+            rows.extend([zero, one_v, zero])
+    return rows
+
+
+def _make_scan_kernel(components: int, kind: str):
+    """Rows are LIMB-MAJOR, word order (limb, comp, coord) — exactly the AoS
+    table-row word order (tables_to_aos_s), so gathered rows feed the kernel
+    with a pure reshape and the outputs row-gather the same way."""
+    ra = row_adapter_for(components)
+    C = components
+    in_coords = 2 if kind == "mixed" else 3
+
+    def load(ref, coords, lead=True):
+        idx = (lambda r: (0, r)) if lead else (lambda r: (r,))
+        pt = [[[None] * L for _ in range(C)] for _ in range(coords)]
+        for i in range(L):
+            for m in range(C):
+                for c in range(coords):
+                    pt[c][m][i] = ref[idx((i * C + m) * coords + c)]
+        return pt
+
+    def store(ref, pt, lead=True):
+        idx = (lambda r: (0, r)) if lead else (lambda r: (r,))
+        for i in range(L):
+            for m in range(C):
+                for c in range(3):
+                    ref[idx((i * C + m) * 3 + c)] = pt[c][m][i]
+
+    def kernel(x_ref, out_ref, carry_ref):
+        k_idx = pl.program_id(1)
+
+        @pl.when(k_idx == 0)
+        def _init():
+            like = x_ref[0, 0]
+            rows = _scan_identity_rows(like, C)
+            for r in range(3 * C * L):
+                carry_ref[r] = rows[r]
+
+        carry = load(carry_ref, 3, lead=False)
+        x = load(x_ref, in_coords)
+        if kind == "mixed":
+            new = rcb_add_mixed(ra, carry, x)
+            store(out_ref, new)
+            store(carry_ref, new, lead=False)
+        else:  # exclusive projective prefixes
+            store(out_ref, carry)
+            new = rcb_add(ra, carry, x)
+            store(carry_ref, new, lead=False)
+
+    return kernel
+
+
+def _run_scan_kernel_impl(x_flat, components: int, kind: str):
+    """x_flat: (k, in_rows, 8, w) -> (k, out_rows, 8, w) prefix points."""
+    C = components
+    in_rows = (2 if kind == "mixed" else 3) * C * L
+    out_rows = 3 * C * L
+    k_steps, rows, _, w = x_flat.shape
+    assert rows == in_rows
+    name = f"g{'1' if C == 1 else '2'}_scan_{'mixed' if kind == 'mixed' else 'excl'}"
+    lane_w = _lane_w(name)
+    grid = (w // lane_w, k_steps)
+    kern = _make_scan_kernel(C, kind)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((k_steps, out_rows, 8, w), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, in_rows, 8, lane_w),
+                lambda j, kk: (kk, 0, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_rows, 8, lane_w),
+            lambda j, kk: (kk, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((out_rows, 8, lane_w), jnp.uint32)],
+        interpret=_FORCE_INTERPRET,
+    )(x_flat)
+
+
+_run_scan_kernel = jax.jit(_run_scan_kernel_impl, static_argnums=(1, 2))
+
+
+def ec_scan_rows(components: int, x_rows: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Grid-carry EC prefix scan over the leading k axis.
+
+    x_rows: (k, in_rows, N) u32 with LIMB-MAJOR word rows — in_rows =
+    16*C*coords where coords = 2 for kind="mixed" (affine inputs, inclusive
+    prefixes) and 3 for kind="excl" (projective inputs, exclusive prefixes).
+    Returns (k, 16*C*3, N) projective prefix points in the same row order.
+    """
+    C = components
+    k_steps, in_rows, n = x_rows.shape
+    name = f"g{'1' if C == 1 else '2'}_scan_{'mixed' if kind == 'mixed' else 'excl'}"
+    blk = 8 * _lane_w(name)
+    target = -(-n // blk) * blk
+    if target != n:
+        x_rows = jnp.pad(x_rows, [(0, 0), (0, 0), (0, target - n)])
+    x3 = x_rows.reshape(k_steps, in_rows, 8, target // 8)
+    # interpret mode runs eagerly: under jit the interpreter's op stream
+    # would itself be compiled by XLA:CPU (minutes for the limb chains)
+    run = _run_scan_kernel_impl if _FORCE_INTERPRET else _run_scan_kernel
+    out = run(x3, C, kind)
+    return out.reshape(k_steps, 3 * C * L, target)[:, :, :n]
 
 
 # --------------------------------------------------------------------------

@@ -208,15 +208,6 @@ def _double8_body(cv, proj, c_bits: int = C_BITS):
 
 
 @functools.lru_cache(maxsize=None)
-def _shared_to_affine(adapter):
-    """One compiled to_affine per adapter: its batched-inversion scan is the
-    single most expensive compile in the stack (~200s on the remote TPU
-    compiler); a per-MSM-instance jit paid it five times per process."""
-    cv = best_curve_ops(adapter)
-    return jax.jit(cv.to_affine)
-
-
-@functools.lru_cache(maxsize=None)
 def _prims(adapter):
     """Single-device primitive programs (S = 1 leading axis convention).
 
@@ -420,19 +411,20 @@ class MSM:
         self.points = jnp.asarray(encode_affine_points(points, adapter))
         self._prim_fns = _prims(adapter)
         self._tables = None
-        self._finish_fn = _shared_to_affine(adapter)
         # the single-program MSM pass (msm_fused.py) needs the Pallas group
         # laws and a TPU-friendly compiler; the eager pipeline stays the
         # default on CPU (XLA:CPU compile economy — see module docstring)
         from . import msm_fused
 
-        # G1 only: the G2 (Fq2) monolith crashes the remote TPU compiler
-        # (HTTP 500 from tpu_compile_helper); G2 keeps the eager pipeline.
+        # G2 included since the grid-carry-scan rewrite: the old monolith
+        # (31 inline EC kernel calls + Hillis-Steele rounds) crashed the
+        # remote TPU compiler on Fq2; the scan-kernel program is ~10x
+        # smaller and compiles. A runtime fallback to the eager pipeline
+        # remains in _pipeline_pass for compiler regressions.
         self._fused = (
             msm_fused.available()
             and os.environ.get("ZK_FUSED_MSM", "1") == "1"
             and self.n & (self.n - 1) == 0
-            and adapter.components == 1
         )
 
     def tables(self) -> jnp.ndarray:
@@ -500,20 +492,40 @@ class MSM:
         )
 
     def to_affine_ints(self, acc):
-        """Projective accumulators -> list of host affine points (None = inf)."""
-        aff = np.asarray(self._finish_fn(acc))
-        batch = aff.shape[3]
+        """Projective accumulators (16, C, 3, B) -> host affine points.
+
+        The Z inversion and normalization run in host Python: at accumulator
+        widths (a few dozen lanes) the device Fermat-inversion scan costs
+        ~300 ms per call in 254 narrow sequential steps, while Python modular
+        inverses on the decoded ints cost microseconds. (The device to_affine
+        stays in use where it is wide enough to pay off: window-table
+        builds over W*n lanes.)"""
+        from ..constants import Q
+        from ..hostmath import bn254
+
+        arr = np.asarray(acc)  # (16, C, 3, B) Montgomery limbs
+        batch = arr.shape[3]
+        vals = FQ.decode(arr.reshape(NUM_LIMBS, -1))  # C*3*B ints
+        comps = self.adapter.components
         out = []
         for b in range(batch):
+            def coord(c, j):
+                return int(vals[(c * 3 + j) * batch + b])
+
             if self.adapter is FqAdapter:
-                x = FQ.decode(aff[:, 0, 0, b].reshape(NUM_LIMBS, 1))[0]
-                y = FQ.decode(aff[:, 0, 1, b].reshape(NUM_LIMBS, 1))[0]
-                out.append(None if (x == 0 and y == 0) else (int(x), int(y)))
+                x, y, z = coord(0, 0), coord(0, 1), coord(0, 2)
+                if z == 0:
+                    out.append(None)
+                    continue
+                zi = pow(z, -1, Q)
+                out.append((x * zi % Q, y * zi % Q))
             else:
-                x0 = FQ.decode(aff[:, 0, 0, b].reshape(NUM_LIMBS, 1))[0]
-                x1 = FQ.decode(aff[:, 1, 0, b].reshape(NUM_LIMBS, 1))[0]
-                y0 = FQ.decode(aff[:, 0, 1, b].reshape(NUM_LIMBS, 1))[0]
-                y1 = FQ.decode(aff[:, 1, 1, b].reshape(NUM_LIMBS, 1))[0]
-                inf = x0 == x1 == y0 == y1 == 0
-                out.append(None if inf else ((int(x0), int(x1)), (int(y0), int(y1))))
+                x = (coord(0, 0), coord(1, 0))
+                y = (coord(0, 1), coord(1, 1))
+                z = (coord(0, 2), coord(1, 2))
+                if z == (0, 0):
+                    out.append(None)
+                    continue
+                zi = bn254.fq2_inv(z)
+                out.append((bn254.fq2_mul(x, zi), bn254.fq2_mul(y, zi)))
         return out

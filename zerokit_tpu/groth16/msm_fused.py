@@ -50,9 +50,15 @@ def available() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int):
+def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
+                 stage: str = "full"):
     """Returns jit(run)(tables_flat (W*n, rowK), scalars (16, n, B)) ->
-    projective accumulators (16, C, 3, B)."""
+    projective accumulators (16, C, 3, B).
+
+    stage != "full" truncates the program after the named stage and returns
+    a cheap checksum instead — tools/msm_profile.py times consecutive stages
+    against each other to attribute the pass cost (the cut points live HERE
+    so the profiler can never drift from the real program)."""
     cv = best_curve_ops(adapter)
     comps = adapter.components
     n_buckets = 1 << c_bits
@@ -91,78 +97,89 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int):
             d = xs.shape[axis]
         return jnp.squeeze(xs, axis=axis)
 
-    def hs_excl_prefix(xs, axis):
-        """Exclusive EC prefixes along `axis` via Hillis-Steele rounds +
-        shift: log2(L) wide kernel calls."""
-        ln = xs.shape[axis]
-        shape = [1] * xs.ndim
-        shape[axis] = ln
-        pos = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
-        shift = 1
-        while shift < ln:
-            sval = jnp.roll(xs, shift, axis=axis)
-            xs = jnp.where(pos < shift, xs, cv.add(sval, xs))
-            shift *= 2
-        sval = jnp.roll(xs, 1, axis=axis)
-        return jnp.where(pos == 0, cv.identity_like(xs), sval)
+    nb_blk = n // k  # blocks per window
+    rows_in = NUM_LIMBS * comps * 2
+    rows_out = NUM_LIMBS * comps * 3
 
     def run(tables_flat, scalars):
+        from ..ff import pallas_field as pf
+
         batch = scalars.shape[2]
+
+        def rows_to_soa(r, positions):
+            """(G*pos*B, rows_out) limb-major AoS -> (16,C,3,G,pos,B)."""
+            t = r.reshape(group, positions, batch, NUM_LIMBS, comps, 3)
+            return jnp.transpose(t, (3, 4, 5, 0, 1, 2))
+
         digits = digits_of(scalars)  # (W, n, B)
+        if stage == "digits":
+            return digits.astype(jnp.uint32).sum()
         window_results = []
+        cuts = []
         iota_n = jax.lax.broadcasted_iota(jnp.uint32, (1, n, 1), 1)
+        g_iota = jnp.arange(group, dtype=jnp.int32)[:, None, None]
+        b_iota = jnp.arange(batch, dtype=jnp.int32)[None, None, :]
         for g in range(n_groups):
             dg = digits[g * group : (g + 1) * group]  # (G, n, B)
             # -- stable sort by digit via packed keys --------------------
             keys = (dg << idx_bits) | iota_n  # (G, n, B)
             skeys = jax.lax.sort(keys, dimension=1)
             order = (skeys & jnp.uint32(n - 1)).astype(jnp.int32)
-            # -- gather AoS table rows in sorted order -------------------
+            # -- gather AoS table rows in sorted order, k-major so the
+            #    fine scan consumes them with a pure 2D transpose ---------
             base = (
                 jnp.arange(g * group, (g + 1) * group, dtype=jnp.int32) * n
             )[:, None, None]
-            flat = (base + order).reshape(-1)
-            rows = jnp.take(tables_flat, flat, axis=0)  # (G*n*B, rowK)
-            aff = rows.T.reshape(NUM_LIMBS, comps, 2, group, n, batch)
+            flat = base + order  # (G, n, B); n splits as (NB, k)
+            flat_k = jnp.moveaxis(
+                flat.reshape(group, nb_blk, k, batch), 2, 0
+            ).reshape(-1)  # (k, G, NB, B) flat
+            if stage == "sort":
+                cuts.append(flat_k.sum())
+                continue
+            rows = jnp.take(tables_flat, flat_k, axis=0)  # (k*G*NB*B, rowK)
+            if stage == "gather":
+                cuts.append(rows.astype(jnp.uint32).sum())
+                continue
             # -- counts C(d) = #(digit <= d), d in [0, nb-2] -------------
             d32 = dg.astype(jnp.int32)
-            g_idx = jnp.broadcast_to(
-                jnp.arange(group, dtype=jnp.int32)[:, None, None], d32.shape
-            )
-            b_idx = jnp.broadcast_to(
-                jnp.arange(batch, dtype=jnp.int32)[None, None, :], d32.shape
-            )
+            g_idx = jnp.broadcast_to(g_iota, d32.shape)
+            b_idx = jnp.broadcast_to(b_iota, d32.shape)
             hist = jnp.zeros((group, n_buckets, batch), dtype=jnp.int32)
             hist = hist.at[g_idx, d32, b_idx].add(1)
             counts = jnp.cumsum(hist, axis=1)[:, : n_buckets - 1]
-            # -- intra-block inclusive prefixes: scan over the k axis ----
-            blocks = aff.reshape(
-                NUM_LIMBS, comps, 2, group, n // k, k, batch
-            )
-            cols = jnp.moveaxis(blocks, 5, 0)  # (k, 16, C, 2, G, NB, B)
-            first = cv.from_affine(cols[0])
-
-            def fine_body(carry, col):
-                new = cv.add_mixed(carry, col)
-                return new, new
-
-            last_carry, ys = jax.lax.scan(fine_body, first, cols[1:])
-            fine = jnp.concatenate([first[None], ys], axis=0)  # (k, ..., NB, B)
-            fine = jnp.moveaxis(fine, 0, 5)  # (16,C,3,G,NB,k,B)
-            fine = fine.reshape(NUM_LIMBS, comps, 3, group, n, batch)
-            totals = last_carry  # (16, C, 3, G, NB, B)
-            # -- exclusive block prefixes --------------------------------
-            coarse_excl = hs_excl_prefix(totals, 4)  # (16,C,3,G,NB,B)
-            # -- Q_d gather ----------------------------------------------
+            # -- intra-block inclusive prefixes: ONE grid-carry kernel ---
+            lanes = group * nb_blk * batch
+            xk = jnp.swapaxes(rows.reshape(k, lanes, rows_in), 1, 2)
+            fine_k = pf.ec_scan_rows(comps, xk, "mixed")  # (k, rows_out, lanes)
+            if stage == "fine":
+                cuts.append(fine_k.sum())
+                continue
+            totals = fine_k[k - 1]  # (rows_out, G*NB*B)
+            # -- exclusive block prefixes: grid-carry scan over NB -------
+            tx = jnp.moveaxis(
+                totals.reshape(rows_out, group, nb_blk, batch), 2, 0
+            ).reshape(nb_blk, rows_out, group * batch)
+            coarse_k = pf.ec_scan_rows(comps, tx, "excl")  # (NB, rows_out, G*B)
+            if stage == "coarse":
+                cuts.append(coarse_k.sum() + fine_k.sum())
+                continue
+            # -- Q_d gather: contiguous AoS row gathers ------------------
             total_col = jnp.full((group, 1, batch), n, dtype=jnp.int32)
             c_all = jnp.concatenate([counts, total_col], axis=1)  # (G,nb,B)
-            idx = jnp.maximum(c_all - 1, 0)
-            shape = fine.shape[:4] + idx.shape[1:]
-            idx_b = jnp.broadcast_to(idx[None, None, None], shape)
-            f = jnp.take_along_axis(fine, idx_b, axis=4)
-            blk_b = jnp.broadcast_to((idx // k)[None, None, None], shape)
-            cq = jnp.take_along_axis(coarse_excl, blk_b, axis=4)
-            q = cv.add(f, cq)
+            idx = jnp.maximum(c_all - 1, 0)  # position in [0, n)
+            # fine AoS rows: (k, lanes, rows_out); lane order (j, g, nb, b)
+            fine_aos = jnp.swapaxes(fine_k, 1, 2).reshape(-1, rows_out)
+            fflat = (
+                (((idx % k) * group + g_iota) * nb_blk + idx // k) * batch + b_iota
+            ).reshape(-1)
+            f_rows = jnp.take(fine_aos, fflat, axis=0)  # (G*nb*B, rows_out)
+            coarse_aos = jnp.swapaxes(coarse_k, 1, 2).reshape(-1, rows_out)
+            cflat = (((idx // k) * group + g_iota) * batch + b_iota).reshape(-1)
+            c_rows = jnp.take(coarse_aos, cflat, axis=0)
+            q = cv.add(
+                rows_to_soa(f_rows, n_buckets), rows_to_soa(c_rows, n_buckets)
+            )  # (16,C,3,G,nb,B)
             ident = cv.identity_like(q)
             q = jnp.where((c_all == 0)[None, None, None], ident, q)
             s_total = q[:, :, :, :, n_buckets - 1]
@@ -170,15 +187,26 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int):
                 jnp.int32, (1, 1, 1, 1, n_buckets, 1), 4
             )
             q = jnp.where(pos == n_buckets - 1, ident, q)
+            if stage == "qgather":
+                cuts.append(q.sum() + s_total.sum())
+                continue
             # -- sum_d Q_d: halving tree ---------------------------------
             sum_q = tree_sum(q, 4)
             # -- telescope: (2^c - 1) * S_total - sum Q ------------------
             t = jax.lax.fori_loop(
                 0, c_bits, lambda _, p: cv.double(p), s_total
             )
+            if stage == "sumq":
+                cuts.append(sum_q.sum() + s_total.sum())
+                continue
             terms = jnp.stack([cv.neg(s_total), cv.neg(sum_q)])
             t, _ = jax.lax.scan(lambda acc, x: (cv.add(acc, x), None), t, terms)
             window_results.append(t)  # (16, C, 3, G, B)
+        if stage != "full":
+            acc = cuts[0]
+            for c in cuts[1:]:
+                acc = acc + c
+            return acc
         all_windows = jnp.concatenate(window_results, axis=3)  # (...,W,B)
         # -- combine windows (tables bake the 2^(c*w) factors): plain sum
         acc = tree_sum(all_windows, 3)

@@ -92,6 +92,10 @@ class Groth16Prover:
 
             def make(points, adapter):
                 return ShardedMSM(points, adapter, mesh)
+        elif self._use_host_msm():
+            from .msm_host import HostMSM
+
+            make = HostMSM
         else:
             make = MSM
         self.msm_a = make(pk.a_query, FqAdapter)
@@ -99,6 +103,25 @@ class Groth16Prover:
         self.msm_b2 = make(pk.b_g2_query, Fq2Adapter)
         self.msm_h = make(pk.h_query, FqAdapter)
         self.msm_l = make(pk.l_query, FqAdapter)
+
+    @staticmethod
+    def _use_host_msm() -> bool:
+        """MSM backend policy. On TPU: the device pipeline (the product hot
+        path). On CPU-only hosts: the native C++ Pippenger — XLA:CPU takes
+        minutes to compile EACH device EC program, which is unusable for
+        tests and CPU serving, while the native MSM needs no compile and
+        runs a depth-10 query in ~100 ms/lane. Override with
+        ZK_MSM_BACKEND=device|host."""
+        import os
+
+        forced = os.environ.get("ZK_MSM_BACKEND", "auto")
+        if forced == "device":
+            return False
+        if forced == "host":
+            return True
+        from ..ff import pallas_field as pf
+
+        return not pf.available()
 
     # -- witness evaluation --------------------------------------------------
 

@@ -121,6 +121,9 @@ class WitnessMapper:
         self.a = SparseMatrix(matrices.a, self.domain_size)
         self.b = SparseMatrix(matrices.b, self.domain_size)
         self.root_2n = ntt.coset_root_2n(self.domain_size)
+        self._rows_a = [list(r) for r in matrices.a]
+        self._rows_b = [list(r) for r in matrices.b]
+        self._coset_powers = None  # built lazily by the host path
         self._matvec_a = jax.jit(functools.partial(sparse_matvec, self.a))
         self._matvec_b = jax.jit(functools.partial(sparse_matvec, self.b))
         self._insert_pub = jax.jit(
@@ -158,8 +161,72 @@ class WitnessMapper:
         ab = FrField.mul(self._coset_lift(a), self._coset_lift(b))
         return FrField.sub(ab, self._coset_lift(c))
 
+    @staticmethod
+    def _use_host_map() -> bool:
+        """QAP backend policy, mirroring Groth16Prover._use_host_msm: the
+        XLA:CPU witness map measured 77s WARM at depth-10/B=4 (the limb NTT
+        executes ~50x below scalar speed there), while the native C++ NTT
+        pipeline runs the same map in ~0.5s. TPU keeps the device pipeline.
+        Override with ZK_QAP_BACKEND=device|host."""
+        import os
+
+        forced = os.environ.get("ZK_QAP_BACKEND", "auto")
+        if forced == "device":
+            return False
+        from ..runtime import native
+
+        if forced == "host":
+            return native.available()
+        from ..ff import pallas_field as pf
+
+        return not pf.available() and native.available()
+
+    def _witness_map_host(self, assignment) -> jnp.ndarray:
+        """CircomReduction witness map via the native NTT (qap.rs:30-98
+        semantics, host integers)."""
+        from ..constants import R
+        from ..ff.field import FR
+        from ..runtime import native
+
+        arr = np.asarray(assignment)
+        n_wires, batch = arr.shape[1], arr.shape[2]
+        z = FR.decode(arr.reshape(NUM_LIMBS, -1))  # (n_wires*B) ints
+        n = self.domain_size
+        if self._coset_powers is None:
+            acc, powers = 1, []
+            for _ in range(n):
+                powers.append(acc)
+                acc = acc * self.root_2n % R
+            self._coset_powers = powers
+        pw = self._coset_powers
+
+        def lift(vals):
+            poly = native.fr_ntt_native(vals, inverse=True)
+            shifted = [p * w % R for p, w in zip(poly, pw)]
+            return native.fr_ntt_native(shifted)
+
+        h_cols = []
+        for b in range(batch):
+            zb = [int(z[i * batch + b]) for i in range(n_wires)]
+            av = [0] * n
+            bv = [0] * n
+            for r, row in enumerate(self._rows_a):
+                av[r] = sum(c * zb[w] for c, w in row) % R
+            for r, row in enumerate(self._rows_b):
+                bv[r] = sum(c * zb[w] for c, w in row) % R
+            for j in range(self.num_inputs):
+                av[self.num_constraints + j] = zb[j]
+            cv = [(x * y) % R for x, y in zip(av, bv)]
+            ab = [x * y % R for x, y in zip(lift(av), lift(bv))]
+            h_cols.append([(x - y) % R for x, y in zip(ab, lift(cv))])
+        flat = [h_cols[b][i] for i in range(n) for b in range(batch)]
+        enc = FR.encode(flat).reshape(NUM_LIMBS, n, batch)  # Montgomery
+        return jnp.asarray(enc)
+
     def witness_map(self, assignment: jnp.ndarray) -> jnp.ndarray:
         """assignment: (16, n_wires, B) Montgomery -> h: (16, domain, B)."""
+        if self.mesh is None and self._use_host_map():
+            return self._witness_map_host(assignment)
         if self.mesh is not None:
             lift = self._coset_lift_sharded
             a = self._matvec_a(assignment)

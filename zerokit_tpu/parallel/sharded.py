@@ -314,9 +314,6 @@ class ShardedMSM:
             jnp.asarray(np.ascontiguousarray(enc)), NamedSharding(mesh, P("tp"))
         )
         self._tables = None
-        from ..groth16.msm import _shared_to_affine
-
-        self._finish_fn = _shared_to_affine(adapter)
 
     def tables(self):
         if self._tables is None:

@@ -8,9 +8,12 @@ NATIVE_DIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
 
 
 def build() -> str:
-    src = os.path.join(NATIVE_DIR, "rln_native.cpp")
+    srcs = [
+        os.path.join(NATIVE_DIR, "rln_native.cpp"),
+        os.path.join(NATIVE_DIR, "pairing.cpp"),
+    ]
     out = os.path.join(NATIVE_DIR, "librln_native.so")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out, src]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out] + srcs
     subprocess.run(cmd, check=True)
     return out
 

@@ -16,12 +16,18 @@ import os
 
 def _fingerprint() -> str:
     parts = []
+    # Include family/model/stepping alongside flags: LLVM tunes pseudo-
+    # features like +prefer-no-gather/+prefer-no-scatter from the detected
+    # microarchitecture, so two hosts with identical flag lists and model
+    # names can still produce mutually-rejected AOT entries (observed: a
+    # 452MB cache fully invalidated by a driver-host rotation).
+    keys = ("flags", "model name", "cpu family", "model\t", "stepping")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "model name")):
+                if line.startswith(keys):
                     parts.append(line.strip())
-                    if len(parts) >= 2:
+                    if len(parts) >= len(keys):
                         break
     except OSError:
         import platform

@@ -27,6 +27,7 @@ proving (the reference's rln-wasm keeps keygen client-side for this reason).
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 import time
@@ -249,6 +250,16 @@ def make_handler(service: ProverService):
 
 
 def serve(host: str = "127.0.0.1", port: int = 8077, **kwargs):
+    # ZK_SERVER_DEPTH selects the circuit (10 = the small artifacts; CI and
+    # CPU-only deployments prove in seconds there via the native backends)
+    depth = int(os.environ.get("ZK_SERVER_DEPTH", "20"))
+    if depth != 20 and "rln" not in kwargs:
+        from .resources import load_resource
+
+        kwargs["rln"] = RLN.stateless(
+            zkey_bytes=load_resource(f"tree_depth_{depth}/rln_final.arkzkey"),
+            graph_bytes=load_resource(f"tree_depth_{depth}/graph.bin"),
+        )
     service = ProverService(**kwargs)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"zerokit-tpu prover serving on {host}:{port}", flush=True)
