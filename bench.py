@@ -165,13 +165,24 @@ def main():
     z_canon = FrField.from_mont(assignment)
     h_canon = FrField.from_mont(h)
     aux = FrField.from_mont(assignment[:, prover.num_inputs :])
-    for name, msm, arg in (
-        ("msm_a", prover.msm_a, z_canon),
-        ("msm_b1", prover.msm_b1, z_canon),
-        ("msm_b2", prover.msm_b2, z_canon),
-        ("msm_l", prover.msm_l, aux),
-        ("msm_h", prover.msm_h, h_canon),
-    ):
+    if prover._g1_group is not None:
+        warm(
+            "msm_ab1l (fused group)",
+            lambda: [
+                prover.msm_a.to_affine_ints(acc)
+                for acc in prover._g1_group([z_canon, z_canon, aux])
+            ],
+        )
+        stages = (("msm_b2", prover.msm_b2, z_canon), ("msm_h", prover.msm_h, h_canon))
+    else:
+        stages = (
+            ("msm_a", prover.msm_a, z_canon),
+            ("msm_b1", prover.msm_b1, z_canon),
+            ("msm_b2", prover.msm_b2, z_canon),
+            ("msm_l", prover.msm_l, aux),
+            ("msm_h", prover.msm_h, h_canon),
+        )
+    for name, msm, arg in stages:
         warm(name, lambda msm=msm, arg=arg: msm.to_affine_ints(msm(arg)))
 
     # -- first measured batch (host witness eval + warm device pipeline) ----

@@ -962,9 +962,59 @@ static inline void g1_to_affine(G1Affine &o, const G1Proj &p) {
 // Matches ark-ec VariableBaseMSM semantics (rln/src/partial_proof.rs:98-104).
 // ---------------------------------------------------------------------------
 
+// Small-n path: per-point 4-bit windowed double-and-add. Pippenger's
+// 255-bucket reduction costs ~16K adds regardless of n, so below ~32
+// points the direct method wins by orders of magnitude (the prover's
+// per-proof blinding assembly is 3-5 point combinations).
+template <typename F, typename A>
+static void msm_small(Jac<F> &out, const A *points, const uint8_t *scalars,
+                      size_t n) {
+  Jac<F> acc;
+  acc.inf = true;
+  for (size_t i = 0; i < n; ++i) {
+    if (points[i].inf) continue;
+    const uint8_t *s = scalars + 32 * i;
+    // 16-entry table of j*P
+    Jac<F> table[16];
+    table[0].inf = true;
+    table[1].X = points[i].x;
+    table[1].Y = points[i].y;
+    fe_set_one(table[1].Z);
+    table[1].inf = false;
+    for (int j = 2; j < 16; ++j) jac_add_affine(table[j], table[j - 1], points[i]);
+    Jac<F> r;
+    r.inf = true;
+    bool started = false;
+    for (int nib = 63; nib >= 0; --nib) {
+      if (started) {
+        for (int d = 0; d < 4; ++d) {
+          Jac<F> t;
+          jac_dbl(t, r);
+          r = t;
+        }
+      }
+      uint8_t digit = (s[nib / 2] >> ((nib & 1) * 4)) & 0xF;
+      if (digit) {
+        Jac<F> t;
+        jac_add(t, r, table[digit]);
+        r = t;
+        started = true;
+      }
+    }
+    Jac<F> t;
+    jac_add(t, acc, r);
+    acc = t;
+  }
+  out = acc;
+}
+
 template <typename F, typename A>
 static void msm_pippenger(Jac<F> &out, const A *points, const uint8_t *scalars,
                           size_t n) {
+  if (n <= 32) {
+    msm_small(out, points, scalars, n);
+    return;
+  }
   const int windows = 32;  // 256 bits / 8
   static thread_local std::vector<Jac<F>> buckets;
   buckets.assign(255, Jac<F>{});

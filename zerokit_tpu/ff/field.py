@@ -189,6 +189,132 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, n_cols: int = 2 * L) -> jnp.ndarra
     return _mul_cols_rows(a, b, n_cols)
 
 
+# ---------------------------------------------------------------------------
+# u64 multiply path (CPU backend with x64 enabled)
+#
+# The TPU formulation above carries 16-bit limbs in u32 lanes because TPUs
+# have no widening multiply; a full Montgomery multiply is ~1500 HLO ops,
+# which LLVM compiles in MINUTES per EC program under XLA:CPU and executes
+# far below scalar speed. CPUs have native 64-bit integer ops, so on the CPU
+# backend the same multiply runs on 8x32-bit limbs held in u64 lanes
+# (~330 ops): 8x8 schoolbook with lo/hi product splits (column sums of <= 8
+# 32-bit parts stay exact in u64), sequential ripple carries (fine on CPU),
+# SOS Montgomery reduction on the 32-bit basis. I/O stays the package-wide
+# (16, *batch) u32 16-bit-limb convention.
+# ---------------------------------------------------------------------------
+
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _use_u64() -> bool:
+    return jax.default_backend() == "cpu" and jax.config.jax_enable_x64
+
+
+def _to_u64_limbs(a16: jnp.ndarray) -> jnp.ndarray:
+    """(16, *b) u32 16-bit limbs -> (8, *b) u64 32-bit limbs."""
+    a = a16.astype(jnp.uint64)
+    return a[0::2] | (a[1::2] << 16)
+
+
+def _from_u64_limbs(a8: jnp.ndarray) -> jnp.ndarray:
+    """(8, *b) u64 32-bit limbs -> (16, *b) u32 16-bit limbs."""
+    lo = (a8 & np.uint64(0xFFFF)).astype(U32)
+    hi = ((a8 >> 16) & np.uint64(0xFFFF)).astype(U32)
+    return jnp.stack([lo, hi], axis=1).reshape((16,) + a8.shape[1:])
+
+
+def _mul_cols_u64(a8, b8, n_cols: int):
+    """Schoolbook column sums of a8*b8 (8x32-bit limbs): values < 2^36."""
+    cols = [None] * n_cols
+
+    def acc(idx, v):
+        if idx < n_cols:
+            cols[idx] = v if cols[idx] is None else cols[idx] + v
+
+    for i in range(8):
+        for j in range(8):
+            if i + j >= n_cols:
+                continue
+            p = a8[i] * b8[j]
+            acc(i + j, p & _M32)
+            acc(i + j + 1, p >> 32)
+    zero = jnp.zeros_like(a8[0])
+    return [zero if c is None else c for c in cols]
+
+
+def _ripple_u64(cols, n_out: int):
+    """Sequential carry ripple: columns (< 2^40) -> n_out 32-bit limbs.
+    Returns (limbs list, carry_out)."""
+    carry = jnp.zeros_like(cols[0]) if cols else None
+    out = []
+    for k in range(n_out):
+        v = (cols[k] if k < len(cols) else jnp.zeros_like(cols[0])) + carry
+        out.append(v & _M32)
+        carry = v >> 32
+    return out, carry
+
+
+def _geq_u64(a, b):
+    """a >= b over 32-bit limb lists (most-significant first compare)."""
+    gt = jnp.zeros_like(a[0], dtype=jnp.bool_)
+    eq = jnp.ones_like(a[0], dtype=jnp.bool_)
+    for i in range(len(a) - 1, -1, -1):
+        gt = gt | (eq & (a[i] > b[i]))
+        eq = eq & (a[i] == b[i])
+    return gt | eq
+
+
+def _sub_u64(a, b):
+    """a - b over 32-bit limb lists (sequential borrow)."""
+    borrow = jnp.zeros_like(a[0])
+    out = []
+    for i in range(len(a)):
+        d = a[i] - b[i] - borrow
+        out.append(d & _M32)
+        borrow = (d >> 63) & np.uint64(1)  # underflow wrapped: top bits set
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _u64_consts(p: int, ninv: int):
+    p8 = np.array([(p >> (32 * i)) & 0xFFFFFFFF for i in range(8)], dtype=np.uint64)
+    n8 = np.array([(ninv >> (32 * i)) & 0xFFFFFFFF for i in range(8)], dtype=np.uint64)
+    return p8, n8
+
+
+def _mont_mul_u64(a16: jnp.ndarray, b16: jnp.ndarray, spec) -> jnp.ndarray:
+    """Montgomery multiply on the u64 path; (16, *batch) u32 in and out."""
+    p8_np, n8_np = _u64_consts(spec.p, spec.ninv)
+    batch = a16.shape[1:]
+
+    def const(arr):
+        c = jnp.asarray(arr).reshape((8,) + (1,) * len(batch))
+        return jnp.broadcast_to(c, (8,) + batch)
+
+    a8 = _to_u64_limbs(a16)
+    b8 = _to_u64_limbs(b16)
+    p8 = const(p8_np)
+    n8 = const(n8_np)
+    # t = a * b (16 limbs; t < p^2 < 2^508 so no 17th limb)
+    t_cols = _mul_cols_u64(a8, b8, 16)
+    t, _ = _ripple_u64(t_cols, 16)
+    # m = (t mod 2^256) * ninv mod 2^256
+    m_cols = _mul_cols_u64(t[:8], n8, 8)
+    m, _ = _ripple_u64(m_cols, 8)
+    # t + m*p, then /2^256: high 8 limbs
+    mp_cols = _mul_cols_u64(m, p8, 16)
+    total_cols = [mp_cols[i] + t[i] for i in range(16)]
+    folded, carry = _ripple_u64(total_cols, 16)
+    hi = list(folded[8:])
+    # (t + mp)/2^256 < 2p: one conditional subtraction, with the ripple
+    # carry-out standing in for bit 512 (2p can exceed 2^256... p < 2^254,
+    # so 2p < 2^255 and carry is always 0; kept for safety)
+    need = _geq_u64(hi, [p8[i] for i in range(8)]) | (carry != 0)
+    diff = _sub_u64(hi, [p8[i] for i in range(8)])
+    out8 = [jnp.where(need, diff[i], hi[i]) for i in range(8)]
+    return _from_u64_limbs(jnp.stack(out8, axis=0))
+
+
 def _kogge_stone_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Carry-lookahead: carry_in[i] for each limb from generate/propagate bits.
 
@@ -363,9 +489,13 @@ class Field:
         return self._cond_sub_p(hi, extra_carry=overflow + t_extra)
 
     def mul(self, a, b):
+        if _use_u64():
+            return _mont_mul_u64(a, b, self.spec)
         return self._mont_reduce(_mul_cols(a, b, 2 * L))
 
     def sqr(self, a):
+        if _use_u64():
+            return _mont_mul_u64(a, a, self.spec)
         return self._mont_reduce(_mul_cols(a, a, 2 * L))
 
     def to_mont(self, a):
@@ -374,6 +504,9 @@ class Field:
 
     def from_mont(self, a):
         """Montgomery form -> canonical limbs (Montgomery-reduce of a)."""
+        if _use_u64():
+            one = jnp.zeros_like(a).at[0].set(1)
+            return _mont_mul_u64(a, one, self.spec)
         pad = jnp.zeros((L,) + a.shape[1:], dtype=U32)
         return self._mont_reduce(jnp.concatenate([a, pad], axis=0))
 

@@ -61,6 +61,11 @@ _LANE_W_BY_KERNEL = {
 
 
 def _lane_w(kernel_name: str) -> int:
+    import os
+
+    env = os.environ.get("ZK_LANE_W_" + kernel_name.upper())
+    if env:
+        return int(env)
     return _LANE_W_BY_KERNEL.get(kernel_name, LANE_W)
 
 

@@ -442,18 +442,7 @@ class MSM:
         """scalars_canon: (16, n_real, B) canonical limbs. mask: optional
         (n_real, B) bool — points with False contribute nothing (partial-proof
         splits). Returns projective accumulators (16, C, 3, B)."""
-        if scalars_canon.shape[1] != self.n_real:
-            raise ValueError(
-                f"expected {self.n_real} scalars, got {scalars_canon.shape[1]}"
-            )
-        scalars = jnp.asarray(scalars_canon)
-        if mask is not None:
-            scalars = jnp.where(jnp.asarray(mask)[None], scalars, 0)
-        if self.n != self.n_real:
-            pad = jnp.zeros(
-                (NUM_LIMBS, self.n - self.n_real, scalars.shape[2]), dtype=U32
-            )
-            scalars = jnp.concatenate([scalars, pad], axis=1)
+        scalars = self.scalars_padded(scalars_canon, mask)
         batch = scalars.shape[2]
         b0 = self.lane_batch
         if batch <= b0:
@@ -490,6 +479,22 @@ class MSM:
         return msm_pipeline(
             self._prim_fns, self.tables(), digits, self.n, group, self.c_bits
         )
+
+    def scalars_padded(self, scalars_canon, mask=None):
+        """Validates, masks and pads scalars to the padded base size n."""
+        if scalars_canon.shape[1] != self.n_real:
+            raise ValueError(
+                f"expected {self.n_real} scalars, got {scalars_canon.shape[1]}"
+            )
+        scalars = jnp.asarray(scalars_canon)
+        if mask is not None:
+            scalars = jnp.where(jnp.asarray(mask)[None], scalars, 0)
+        if self.n != self.n_real:
+            pad = jnp.zeros(
+                (NUM_LIMBS, self.n - self.n_real, scalars.shape[2]), dtype=U32
+            )
+            scalars = jnp.concatenate([scalars, pad], axis=1)
+        return scalars
 
     def to_affine_ints(self, acc):
         """Projective accumulators (16, C, 3, B) -> host affine points.
@@ -529,3 +534,74 @@ class MSM:
                 zi = bn254.fq2_inv(z)
                 out.append((bn254.fq2_mul(x, zi), bn254.fq2_mul(y, zi)))
         return out
+
+
+class FusedMSMGroup:
+    """Runs k same-shape fixed-base MSMs as ONE fused program per pass.
+
+    Each fused-MSM dispatch on the tunneled backend costs ~37 ms of fixed
+    latency plus per-pass XLA glue; the Groth16 prover's a/b1/l G1 query
+    MSMs share one padded base size, so merging them into a single program
+    (lane axis = k*B, per-lane table base — msm_fused.fused_multi_msm_pass)
+    pays those costs once per pass instead of three times.
+    """
+
+    def __init__(self, msms):
+        assert len(msms) >= 2
+        n = msms[0].n
+        ad = msms[0].adapter
+        assert all(m.n == n and m.adapter is ad and m._fused for m in msms)
+        self.msms = list(msms)
+        self.adapter = ad
+        self.n = n
+        self.n_windows = msms[0].n_windows
+        self.c_bits = msms[0].c_bits
+        self.lane_batch = msms[0].lane_batch
+        self._tables_cat = None
+
+    def tables_cat(self):
+        if self._tables_cat is None:
+            self._tables_cat = jnp.concatenate(
+                [m.tables()[0] for m in self.msms], axis=0
+            )
+        return self._tables_cat
+
+    def __call__(self, scalars_list, masks=None):
+        """scalars_list[i]: (16, msms[i].n_real, B). Returns one projective
+        accumulator array (16, C, 3, B) per member MSM."""
+        from .msm_fused import fused_multi_msm_pass
+
+        m_count = len(self.msms)
+        if masks is None:
+            masks = [None] * m_count
+        padded = [
+            msm.scalars_padded(s, mk)
+            for msm, s, mk in zip(self.msms, scalars_list, masks)
+        ]
+        batch = padded[0].shape[2]
+        assert all(p.shape[2] == batch for p in padded)
+        b0 = self.lane_batch
+        accs = None
+        for lo in range(0, batch, b0):
+            hi = min(lo + b0, batch)
+            piece = [p[:, :, lo:hi] for p in padded]
+            if hi - lo < b0:  # ragged tail: replicate lane 0, slice after
+                piece = [
+                    jnp.concatenate(
+                        [p, jnp.repeat(p[:, :, :1], b0 - (hi - lo), axis=2)],
+                        axis=2,
+                    )
+                    for p in piece
+                ]
+            stacked = jnp.concatenate(piece, axis=2)  # (16, n, M*b0)
+            acc = fused_multi_msm_pass(
+                self.adapter, self.tables_cat(), stacked, self.n,
+                self.n_windows, self.c_bits, m_count,
+            )  # (16, C, 3, M*b0)
+            parts = [
+                acc[:, :, :, m * b0 : m * b0 + (hi - lo)] for m in range(m_count)
+            ]
+            accs = parts if accs is None else [
+                jnp.concatenate([a, p], axis=3) for a, p in zip(accs, parts)
+            ]
+        return accs

@@ -51,9 +51,15 @@ def available() -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
-                 stage: str = "full"):
-    """Returns jit(run)(tables_flat (W*n, rowK), scalars (16, n, B)) ->
-    projective accumulators (16, C, 3, B).
+                 stage: str = "full", n_instances: int = 1):
+    """Returns jit(run)(tables_flat (M*W*n, rowK), scalars (16, n, M*B)) ->
+    projective accumulators (16, C, 3, M*B).
+
+    n_instances = M > 1 runs M same-shape MSMs (distinct base sets, lane
+    order (m, b)) as ONE program — each pass of the tunneled backend costs
+    ~37 ms of fixed dispatch/transfer latency plus shared XLA glue, so the
+    prover merges its three same-size G1 query MSMs (a, b1, l) into one
+    call. Only the gather base changes: lane l reads table instance l // B.
 
     stage != "full" truncates the program after the named stage and returns
     a cheap checksum instead — tools/msm_profile.py times consecutive stages
@@ -130,6 +136,12 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
             base = (
                 jnp.arange(g * group, (g + 1) * group, dtype=jnp.int32) * n
             )[:, None, None]
+            if n_instances > 1:  # per-lane base-set offset (lane order (m, b))
+                lane_b = batch // n_instances
+                inst = (
+                    jnp.arange(batch, dtype=jnp.int32) // lane_b
+                ) * (n_windows * n)
+                base = base + inst[None, None, :]
             flat = base + order  # (G, n, B); n splits as (NB, k)
             flat_k = jnp.moveaxis(
                 flat.reshape(group, nb_blk, k, batch), 2, 0
@@ -222,3 +234,13 @@ def fused_msm_pass(adapter, tables_aos, scalars, n, n_windows, c_bits):
     tables_flat = tables_aos[0] if tables_aos.ndim == 3 else tables_aos
     fn = _build_fused(adapter, n, n_windows, c_bits, group)
     return fn(tables_flat, scalars)
+
+
+def fused_multi_msm_pass(adapter, tables_cat, scalars_mb, n, n_windows,
+                         c_bits, n_instances):
+    """M same-shape MSMs as one program. tables_cat: (M*W*n, rowK) —
+    instance-major concat of the per-MSM AoS tables; scalars_mb:
+    (16, n, M*B) with lane order (m, b). Returns (16, C, 3, M*B)."""
+    group = _window_group(scalars_mb.shape[2], adapter.components, n_windows)
+    fn = _build_fused(adapter, n, n_windows, c_bits, group, "full", n_instances)
+    return fn(tables_cat, scalars_mb)

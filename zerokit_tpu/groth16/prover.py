@@ -103,6 +103,20 @@ class Groth16Prover:
         self.msm_b2 = make(pk.b_g2_query, Fq2Adapter)
         self.msm_h = make(pk.h_query, FqAdapter)
         self.msm_l = make(pk.l_query, FqAdapter)
+        # merge the three same-size G1 query MSMs into one fused program per
+        # pass (FusedMSMGroup) — saves 2x the fixed dispatch latency and XLA
+        # glue of the tunneled backend on every pass
+        self._g1_group = None
+        if (
+            make is MSM
+            and getattr(self.msm_a, "_fused", False)
+            and getattr(self.msm_b1, "_fused", False)
+            and getattr(self.msm_l, "_fused", False)
+            and self.msm_a.n == self.msm_b1.n == self.msm_l.n
+        ):
+            from .msm import FusedMSMGroup
+
+            self._g1_group = FusedMSMGroup([self.msm_a, self.msm_b1, self.msm_l])
 
     @staticmethod
     def _use_host_msm() -> bool:
@@ -228,40 +242,84 @@ class Groth16Prover:
             z_canon = FrField.from_mont(assignment)
             h_canon = FrField.from_mont(h)
             h_canon.block_until_ready()
-        with stage_timer(metrics, "msm_a"):
-            a_pts = self.msm_a.to_affine_ints(self.msm_a(z_canon))
-        with stage_timer(metrics, "msm_b1"):
-            b1_pts = self.msm_b1.to_affine_ints(self.msm_b1(z_canon))
-        with stage_timer(metrics, "msm_b2"):
-            b2_pts = self.msm_b2.to_affine_ints(self.msm_b2(z_canon))
-        with stage_timer(metrics, "msm_l"):
-            l_aux = FrField.from_mont(assignment[:, self.num_inputs :])
-            l_pts = self.msm_l.to_affine_ints(self.msm_l(l_aux))
-        with stage_timer(metrics, "msm_h"):
-            h_pts = self.msm_h.to_affine_ints(self.msm_h(h_canon))
+        if self._g1_group is not None:
+            with stage_timer(metrics, "msm_ab1l"):
+                l_aux = FrField.from_mont(assignment[:, self.num_inputs :])
+                acc_a, acc_b1, acc_l = self._g1_group([z_canon, z_canon, l_aux])
+                a_pts = self.msm_a.to_affine_ints(acc_a)
+                b1_pts = self.msm_b1.to_affine_ints(acc_b1)
+                l_pts = self.msm_l.to_affine_ints(acc_l)
+            with stage_timer(metrics, "msm_b2"):
+                b2_pts = self.msm_b2.to_affine_ints(self.msm_b2(z_canon))
+            with stage_timer(metrics, "msm_h"):
+                h_pts = self.msm_h.to_affine_ints(self.msm_h(h_canon))
+        else:
+            with stage_timer(metrics, "msm_a"):
+                a_pts = self.msm_a.to_affine_ints(self.msm_a(z_canon))
+            with stage_timer(metrics, "msm_b1"):
+                b1_pts = self.msm_b1.to_affine_ints(self.msm_b1(z_canon))
+            with stage_timer(metrics, "msm_b2"):
+                b2_pts = self.msm_b2.to_affine_ints(self.msm_b2(z_canon))
+            with stage_timer(metrics, "msm_l"):
+                l_aux = FrField.from_mont(assignment[:, self.num_inputs :])
+                l_pts = self.msm_l.to_affine_ints(self.msm_l(l_aux))
+            with stage_timer(metrics, "msm_h"):
+                h_pts = self.msm_h.to_affine_ints(self.msm_h(h_canon))
 
         pk = self.zkey.pk
         proofs: List[Proof] = []
         t_assembly = stage_timer(metrics, "host_assembly")
         t_assembly.__enter__()
         for b in range(batch):
-            r, s = rs[b] % R, ss[b] % R
-            g_a = bn254.G1.add(pk.vk.alpha_g1, a_pts[b])
-            g_a = bn254.G1.add(g_a, bn254.G1.mul(pk.delta_g1, r))
-            if r != 0:
-                g1_b = bn254.G1.add(pk.beta_g1, b1_pts[b])
-                g1_b = bn254.G1.add(g1_b, bn254.G1.mul(pk.delta_g1, s))
-            else:
-                g1_b = None
-            g2_b = bn254.G2.add(pk.vk.beta_g2, b2_pts[b])
-            g2_b = bn254.G2.add(g2_b, bn254.G2.mul(pk.vk.delta_g2, s))
-            g_c = bn254.G1.add(bn254.G1.mul(g_a, s), bn254.G1.mul(g1_b, r))
-            g_c = bn254.G1.add(g_c, bn254.G1.neg(bn254.G1.mul(pk.delta_g1, r * s % R)))
-            g_c = bn254.G1.add(g_c, l_pts[b])
-            g_c = bn254.G1.add(g_c, h_pts[b])
-            proofs.append((g_a, g2_b, g_c))
+            proofs.append(
+                self._assemble(
+                    pk, rs[b], ss[b], a_pts[b], b1_pts[b], b2_pts[b],
+                    l_pts[b], h_pts[b],
+                )
+            )
         t_assembly.__exit__(None, None, None)
         return proofs
+
+    @staticmethod
+    def _assemble(pk, r, s, a_pt, b1_pt, b2_pt, l_pt, h_pt) -> Proof:
+        """Per-proof blinding algebra (ark-groth16 semantics; reference math
+        partial_proof.rs:237-268). Uses the native small-n linear
+        combinations when the library is built (~4x the Python bigint
+        path); the Python path is the bit-exact fallback."""
+        from ..runtime import native
+
+        r, s = r % R, s % R
+        if native.pairing_available():
+            g_a = native.g1_msm_native(
+                [pk.vk.alpha_g1, a_pt, pk.delta_g1], [1, 1, r]
+            )
+            g1_b = (
+                native.g1_msm_native([pk.beta_g1, b1_pt, pk.delta_g1], [1, 1, s])
+                if r != 0
+                else None
+            )
+            g2_b = native.g2_msm_native(
+                [pk.vk.beta_g2, b2_pt, pk.vk.delta_g2], [1, 1, s]
+            )
+            g_c = native.g1_msm_native(
+                [g_a, g1_b, pk.delta_g1, l_pt, h_pt],
+                [s, r, (R - r * s % R) % R, 1, 1],
+            )
+            return (g_a, g2_b, g_c)
+        g_a = bn254.G1.add(pk.vk.alpha_g1, a_pt)
+        g_a = bn254.G1.add(g_a, bn254.G1.mul(pk.delta_g1, r))
+        if r != 0:
+            g1_b = bn254.G1.add(pk.beta_g1, b1_pt)
+            g1_b = bn254.G1.add(g1_b, bn254.G1.mul(pk.delta_g1, s))
+        else:
+            g1_b = None
+        g2_b = bn254.G2.add(pk.vk.beta_g2, b2_pt)
+        g2_b = bn254.G2.add(g2_b, bn254.G2.mul(pk.vk.delta_g2, s))
+        g_c = bn254.G1.add(bn254.G1.mul(g_a, s), bn254.G1.mul(g1_b, r))
+        g_c = bn254.G1.add(g_c, bn254.G1.neg(bn254.G1.mul(pk.delta_g1, r * s % R)))
+        g_c = bn254.G1.add(g_c, l_pt)
+        g_c = bn254.G1.add(g_c, h_pt)
+        return (g_a, g2_b, g_c)
 
     # -- partial / finish ----------------------------------------------------
 

@@ -223,6 +223,101 @@ def run_toy(n_devices: int) -> None:
     _log("toy tier: proofs verified under vk")
 
 
+def run_depth10_lite(n_devices: int) -> None:
+    """Real depth-10 circuit with the DISTRIBUTED pieces on device — the
+    proof batch dp-sharded into the tp-sharded Bailey-NTT witness map
+    (parallel/ntt_sharded.py at the real 2^12 domain) — and the five MSMs on
+    the native host backend (groth16/msm_host.py). Rationale: the sharded
+    QAP is SURVEY §2d's sequence-parallel analog and has never run at real
+    circuit scale inside a driver budget, while compiling the eager sharded
+    EC programs costs minutes each under XLA:CPU; the tp-sharded MSM path is
+    validated by the toy tier here and at full scale by bench/tools on real
+    hardware. Proofs verify under the real embedded vk."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .. import hash_to_field_le, poseidon_hash, poseidon_hash_pair
+    from ..circuit import witness_host
+    from ..circuit.graph import graph_from_bytes
+    from ..circuit.zkey import zkey_from_bytes
+    from ..constants import NUM_LIMBS
+    from ..ff.field import FrField, encode_canonical_fast
+    from ..ff.fq2 import Fq2Adapter, FqAdapter
+    from ..groth16.msm_host import HostMSM
+    from ..groth16.prover import Groth16Prover
+    from ..groth16.qap import WitnessMapper
+    from ..groth16.verifier import prepare_verifying_key, rln_public_inputs, verify_proof
+    from ..protocol.proof import proof_values_from_witness
+    from ..protocol.witness import RLNWitnessInput
+    from ..resources import load_resource
+    from ..tree.merkle import OptimalMerkleTree
+
+    mesh = _mesh(n_devices)
+    dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+    _log(f"depth10-lite tier: mesh dp={dp} tp={tp}")
+
+    zkey = zkey_from_bytes(load_resource("tree_depth_10/rln_final.arkzkey"))
+    graph = graph_from_bytes(load_resource("tree_depth_10/graph.bin"), 10, None)
+    prover = Groth16Prover.__new__(Groth16Prover)
+    prover.zkey = zkey
+    prover.graph = graph
+    prover.mesh = mesh
+    prover.evaluator = None  # host witness vectors; QAP is the device piece
+    prover.num_inputs = zkey.matrices.num_instance_variables
+    prover.n_wires = len(zkey.pk.a_query)
+    prover.mapper = WitnessMapper(zkey.matrices, mesh=mesh)
+    assert prover.mapper.mesh is not None, "domain must shard over tp"
+    pk = zkey.pk
+    prover.msm_a = HostMSM(pk.a_query, FqAdapter)
+    prover.msm_b1 = HostMSM(pk.b_g1_query, FqAdapter)
+    prover.msm_b2 = HostMSM(pk.b_g2_query, Fq2Adapter)
+    prover.msm_h = HostMSM(pk.h_query, FqAdapter)
+    prover.msm_l = HostMSM(pk.l_query, FqAdapter)
+    _log("depth10-lite tier: engine built (sharded QAP + native-host MSMs)")
+
+    B = prover._batch_target(dp)
+    tree = OptimalMerkleTree(10)
+    ext = poseidon_hash_pair(hash_to_field_le(b"lite-epoch"), hash_to_field_le(b"lite-app"))
+    secrets = [hash_to_field_le(b"lite-%d" % i) for i in range(B)]
+    for i, s in enumerate(secrets):
+        tree.set(i, poseidon_hash_pair(poseidon_hash([s]), 10))
+    witnesses = []
+    for i, s in enumerate(secrets):
+        mp = tree.proof(i)
+        witnesses.append(
+            RLNWitnessInput.new_single(
+                s, 10, 1, mp.get_path_elements(), mp.get_path_index(),
+                hash_to_field_le(b"m%d" % i), ext,
+            )
+        )
+    cols = [witness_host.calc_witness(w.named_inputs(), graph) for w in witnesses]
+    flat = [cols[b][i] for i in range(prover.n_wires) for b in range(B)]
+    canon = encode_canonical_fast(flat).reshape(NUM_LIMBS, prover.n_wires, B)
+    assignment = FrField.to_mont(jnp.asarray(canon))
+    _log(f"depth10-lite tier: {B} host witness vectors ({prover.n_wires} wires)")
+
+    with mesh:
+        assignment = jax.device_put(
+            assignment, NamedSharding(mesh, P(None, None, "dp"))
+        )
+        t0 = time.time()
+        proofs = prover.prove_batch_with_assignment(
+            assignment, list(range(1, B + 1)), list(range(11, 11 + B))
+        )
+        _log(
+            f"depth10-lite tier: {B} proofs (dp-sharded batch, tp-sharded "
+            f"Bailey-NTT QAP) in {time.time() - t0:.1f}s"
+        )
+    pvk = prepare_verifying_key(pk.vk)
+    for b in (0, B - 1):
+        values = proof_values_from_witness(witnesses[b])
+        assert verify_proof(pvk, proofs[b], rln_public_inputs(values)), (
+            f"depth10-lite proof {b} invalid"
+        )
+    _log("depth10-lite tier: proofs verified under the embedded vk")
+
+
 def run_depth10(n_devices: int) -> None:
     """Real depth-10 RLN circuit: host witness vectors, sharded QAP + MSMs."""
     from ..api import RLN
@@ -295,12 +390,19 @@ def main():
 
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        # u64 limb path (ff/field.py): much cheaper XLA:CPU compiles
+        jax.config.update("jax_enable_x64", True)
     from ..runtime.cache import enable_persistent_cache
 
     enable_persistent_cache()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     tier = sys.argv[2] if len(sys.argv) > 2 else "toy"
-    {"depth10": run_depth10, "toy": run_toy, "pico": run_pico}[tier](n)
+    {
+        "depth10": run_depth10,
+        "depth10-lite": run_depth10_lite,
+        "toy": run_toy,
+        "pico": run_pico,
+    }[tier](n)
     print(f"DRYRUN-{tier.upper()}-OK", flush=True)
 
 
