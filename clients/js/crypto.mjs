@@ -375,11 +375,18 @@ export function arkFrRand(rng) {
 // ---------------------------------------------------------------------------
 
 function randomFr() {
-  const bytes = new Uint8Array(32);
-  globalThis.crypto.getRandomValues(bytes); // browser + node >= 18
-  let v = 0n;
-  for (let i = 31; i >= 0; i--) v = (v << 8n) | BigInt(bytes[i]);
-  return v % R;
+  // Rejection sampling after shaving to 254 bits (mirrors ark's uniform
+  // Fr sampling): reducing 256 raw bits mod the 254-bit R would bias the
+  // low range by ~2^-1.6.
+  const shave = (1n << 254n) - 1n;
+  for (;;) {
+    const bytes = new Uint8Array(32);
+    globalThis.crypto.getRandomValues(bytes); // browser + node >= 18
+    let v = 0n;
+    for (let i = 31; i >= 0; i--) v = (v << 8n) | BigInt(bytes[i]);
+    v &= shave;
+    if (v < R) return v;
+  }
 }
 
 export function keygen() {

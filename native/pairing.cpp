@@ -27,6 +27,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace pairing {
@@ -1077,6 +1078,161 @@ static void read_g2(G2Affine &o, const uint8_t *b) {
   fp_from_le(o.y.b, b + 96);
 }
 
+// ---------------------------------------------------------------------------
+// Point validation (untrusted proof bytes)
+// ---------------------------------------------------------------------------
+
+// Fr group order r, canonical LE bytes (subgroup checks).
+static const uint8_t MOD_R_LE[32] = {
+    0x01, 0x00, 0x00, 0xf0, 0x93, 0xf5, 0xe1, 0x43, 0x91, 0x70, 0xb9,
+    0x79, 0x48, 0xe8, 0x33, 0x28, 0x5d, 0x58, 0x81, 0x81, 0xb6, 0x45,
+    0x50, 0xb8, 0x29, 0xa0, 0x31, 0xe1, 0x72, 0x4e, 0x64, 0x30};
+
+// raw canonical-LE 32-byte value < q?
+static bool le_lt_q(const uint8_t *b) {
+  uint64_t v[4];
+  std::memcpy(v, b, 32);
+  for (int i = 3; i >= 0; --i) {
+    if (v[i] < MOD_Q[i]) return true;
+    if (v[i] > MOD_Q[i]) return false;
+  }
+  return false;  // equal to q: non-canonical
+}
+
+static void fp_small(Fp &o, uint64_t v) {
+  uint8_t b[32] = {0};
+  std::memcpy(b, &v, 8);
+  fp_from_le(o, b);
+}
+
+// y^2 == x^3 + 3 over Fq (G1 curve; cofactor 1, so on-curve + canonical
+// range is the full G1 validity check — matches ark CanonicalDeserialize).
+static bool g1_on_curve(const G1Affine &p) {
+  Fp y2, x3, t, b3;
+  fe_sqr(y2, p.y);
+  fe_sqr(t, p.x);
+  fe_mul(x3, t, p.x);
+  fp_small(b3, 3);
+  fe_add(x3, x3, b3);
+  fe_sub(t, y2, x3);
+  return fe_is_zero(t);
+}
+
+// y^2 == x^3 + 3/xi over Fq2 (the D-type twist E').
+static bool g2_on_curve(const G2Affine &p) {
+  Fp2 xi, b2, y2, x3, t;
+  fp_small(xi.a, 9);
+  fp_small(xi.b, 1);
+  f2_inv(b2, xi);
+  Fp three;
+  fp_small(three, 3);
+  fp_mul(b2.a, b2.a, three);
+  fp_mul(b2.b, b2.b, three);
+  fe_sqr(y2, p.y);
+  fe_sqr(t, p.x);
+  fe_mul(x3, t, p.x);
+  fe_add(x3, x3, b2);
+  fe_sub(t, y2, x3);
+  return fe_is_zero(t);
+}
+
+// ---------------------------------------------------------------------------
+// Batched Groth16 blinding assembly (prover host side)
+// ---------------------------------------------------------------------------
+
+// Fixed-base 4-bit window table: tbl[w*15 + d-1] = d * 2^(4w) * base for
+// w in [0, 64). ~1.1K group ops once per base; afterwards every scalar
+// multiplication by that base is <= 64 additions with no doublings.
+template <typename F>
+static void fixed_table_build(std::vector<Jac<F>> &tbl, const Jac<F> &base) {
+  tbl.assign(64 * 15, Jac<F>{});
+  Jac<F> pw = base;
+  for (int w = 0; w < 64; ++w) {
+    Jac<F> acc = pw;
+    for (int d = 1; d <= 15; ++d) {
+      tbl[w * 15 + d - 1] = acc;
+      if (d < 15) {
+        Jac<F> t;
+        jac_add(t, acc, pw);
+        acc = t;
+      }
+    }
+    if (w < 63)
+      for (int i = 0; i < 4; ++i) {
+        Jac<F> t;
+        jac_dbl(t, pw);
+        pw = t;
+      }
+  }
+}
+
+template <typename F>
+static void fixed_table_mul(Jac<F> &out, const std::vector<Jac<F>> &tbl,
+                            const uint8_t *scalar) {
+  Jac<F> acc;
+  acc.inf = true;
+  for (int w = 0; w < 64; ++w) {
+    uint8_t d = (scalar[w / 2] >> ((w & 1) * 4)) & 0xF;
+    if (!d) continue;
+    Jac<F> t;
+    jac_add(t, acc, tbl[w * 15 + d - 1]);
+    acc = t;
+  }
+  out = acc;
+}
+
+// s1*P1 + s2*P2 with a shared doubling chain (Straus/Shamir, 4-bit windows):
+// 252 doublings + <=2*63 additions instead of two independent ladders.
+template <typename F, typename A>
+static void joint_mul2(Jac<F> &out, const A &p1, const uint8_t *s1,
+                       const A &p2, const uint8_t *s2) {
+  Jac<F> t1[16], t2[16];
+  t1[0].inf = true;
+  t2[0].inf = true;
+  for (int j = 1; j < 16; ++j) {
+    jac_add_affine(t1[j], t1[j - 1], p1);
+    jac_add_affine(t2[j], t2[j - 1], p2);
+  }
+  Jac<F> r;
+  r.inf = true;
+  bool started = false;
+  for (int nib = 63; nib >= 0; --nib) {
+    if (started)
+      for (int d = 0; d < 4; ++d) {
+        Jac<F> t;
+        jac_dbl(t, r);
+        r = t;
+      }
+    uint8_t d1 = (s1[nib / 2] >> ((nib & 1) * 4)) & 0xF;
+    uint8_t d2 = (s2[nib / 2] >> ((nib & 1) * 4)) & 0xF;
+    if (d1) {
+      Jac<F> t;
+      jac_add(t, r, t1[d1]);
+      r = t;
+      started = true;
+    }
+    if (d2) {
+      Jac<F> t;
+      jac_add(t, r, t2[d2]);
+      r = t;
+      started = true;
+    }
+  }
+  out = r;
+}
+
+template <typename F, typename A>
+static void affine_to_jac(Jac<F> &o, const A &p) {
+  if (p.inf) {
+    o.inf = true;
+    return;
+  }
+  o.X = p.x;
+  o.Y = p.y;
+  fe_set_one(o.Z);
+  o.inf = false;
+}
+
 }  // namespace pairing
 
 extern "C" {
@@ -1170,6 +1326,154 @@ int rln_g2_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
   fp_to_le(out + 32, o.x.b);
   fp_to_le(out + 64, o.y.a);
   fp_to_le(out + 96, o.y.b);
+  return 0;
+}
+
+// Proof-point validation for untrusted bytes (ark CanonicalDeserialize
+// semantics: reject non-canonical coordinates and off-curve points; G2
+// additionally requires r-torsion membership — the twist's full group
+// order is r*c2 with gcd(r, c2) = 1, so [r]Q == inf iff Q lies in the
+// order-r subgroup the pairing is defined on).
+// Returns 1 valid (infinity counts as valid), 0 invalid, <0 on bad args.
+int rln_g1_is_valid(const uint8_t *g1) {
+  using namespace pairing;
+  if (!g1) return -1;
+  bool zero = true;
+  for (int i = 0; i < 64; ++i) zero &= (g1[i] == 0);
+  if (zero) return 1;
+  if (!le_lt_q(g1) || !le_lt_q(g1 + 32)) return 0;
+  G1Affine p;
+  read_g1(p, g1);
+  return g1_on_curve(p) ? 1 : 0;
+}
+
+int rln_g2_is_valid(const uint8_t *g2, int check_subgroup) {
+  using namespace pairing;
+  if (!g2) return -1;
+  bool zero = true;
+  for (int i = 0; i < 128; ++i) zero &= (g2[i] == 0);
+  if (zero) return 1;
+  for (int c = 0; c < 4; ++c)
+    if (!le_lt_q(g2 + 32 * c)) return 0;
+  G2Affine q;
+  read_g2(q, g2);
+  if (!g2_on_curve(q)) return 0;
+  if (check_subgroup) {
+    Jac<Fp2> acc;
+    msm_small(acc, &q, MOD_R_LE, 1);
+    if (!(acc.inf || fe_is_zero(acc.Z))) return 0;
+  }
+  return 1;
+}
+
+// Batched Groth16 blinding assembly. For each proof b (ark-groth16
+// semantics; reference math rln/src/partial_proof.rs:237-268):
+//   g_a  = alpha + A_b + r_b*delta1
+//   g2_b = beta2 + B2_b + s_b*delta2
+//   g_c  = s_b*alpha + r_b*beta1 + rs_b*delta1 + s_b*A_b + r_b*B1_b
+//          + L_b + H_b
+// The g_c line is the expansion of s*g_a + r*g1_b - rs*delta1 + L + H and is
+// identical for r = 0 (where the reference's g1_b is the infinity point).
+// rs must be (r*s mod r_order), supplied by the caller. Scalars are 32-byte
+// canonical LE; points as in the other entry points. One call assembles the
+// whole batch: fixed-base window tables for alpha/beta1/delta1/delta2 are
+// built once, the two variable-base terms share a Straus double chain.
+int rln_groth16_assemble_batch(
+    const uint8_t *alpha_g1, const uint8_t *beta_g1, const uint8_t *delta_g1,
+    const uint8_t *beta_g2, const uint8_t *delta_g2, const uint8_t *a_pts,
+    const uint8_t *b1_pts, const uint8_t *b2_pts, const uint8_t *l_pts,
+    const uint8_t *h_pts, const uint8_t *rs, const uint8_t *ss,
+    const uint8_t *rss, size_t batch, uint8_t *out_a, uint8_t *out_b,
+    uint8_t *out_c) {
+  using namespace pairing;
+  if (!alpha_g1 || !beta_g1 || !delta_g1 || !beta_g2 || !delta_g2 || !a_pts ||
+      !b1_pts || !b2_pts || !l_pts || !h_pts || !rs || !ss || !rss || !out_a ||
+      !out_b || !out_c)
+    return -1;
+  G1Affine alpha, beta1, delta1;
+  G2Affine beta2, delta2;
+  read_g1(alpha, alpha_g1);
+  read_g1(beta1, beta_g1);
+  read_g1(delta1, delta_g1);
+  read_g2(beta2, beta_g2);
+  read_g2(delta2, delta_g2);
+  Jac<Fp> j_alpha, j_beta1, j_delta1;
+  Jac<Fp2> j_delta2;
+  affine_to_jac(j_alpha, alpha);
+  affine_to_jac(j_beta1, beta1);
+  affine_to_jac(j_delta1, delta1);
+  affine_to_jac(j_delta2, delta2);
+  std::vector<Jac<Fp>> t_alpha, t_beta1, t_delta1;
+  std::vector<Jac<Fp2>> t_delta2;
+  fixed_table_build(t_alpha, j_alpha);
+  fixed_table_build(t_beta1, j_beta1);
+  fixed_table_build(t_delta1, j_delta1);
+  fixed_table_build(t_delta2, j_delta2);
+
+  auto work = [&](size_t lo, size_t hi) {
+    for (size_t b = lo; b < hi; ++b) {
+      G1Affine a, b1, l, h;
+      G2Affine b2;
+      read_g1(a, a_pts + 64 * b);
+      read_g1(b1, b1_pts + 64 * b);
+      read_g2(b2, b2_pts + 128 * b);
+      read_g1(l, l_pts + 64 * b);
+      read_g1(h, h_pts + 64 * b);
+      const uint8_t *r_b = rs + 32 * b;
+      const uint8_t *s_b = ss + 32 * b;
+      const uint8_t *rs_b = rss + 32 * b;
+      // g_a = alpha + A + r*delta1
+      Jac<Fp> ga, t;
+      fixed_table_mul(ga, t_delta1, r_b);
+      jac_add_affine(t, ga, a);
+      jac_add_affine(ga, t, alpha);
+      // g2_b = beta2 + B2 + s*delta2
+      Jac<Fp2> gb, t2;
+      fixed_table_mul(gb, t_delta2, s_b);
+      jac_add_affine(t2, gb, b2);
+      jac_add_affine(gb, t2, beta2);
+      // g_c = s*alpha + r*beta1 + rs*delta1 + (s*A + r*B1) + L + H
+      Jac<Fp> gc, u;
+      fixed_table_mul(gc, t_alpha, s_b);
+      fixed_table_mul(u, t_beta1, r_b);
+      jac_add(t, gc, u);
+      fixed_table_mul(u, t_delta1, rs_b);
+      jac_add(gc, t, u);
+      joint_mul2(u, a, s_b, b1, r_b);
+      jac_add(t, gc, u);
+      jac_add_affine(gc, t, l);
+      jac_add_affine(t, gc, h);
+      gc = t;
+      G1Affine oa, oc;
+      G2Affine ob;
+      jac_to_affine(oa, ga);
+      jac_to_affine(ob, gb);
+      jac_to_affine(oc, gc);
+      fp_to_le(out_a + 64 * b, oa.x);
+      fp_to_le(out_a + 64 * b + 32, oa.y);
+      fp_to_le(out_b + 128 * b, ob.x.a);
+      fp_to_le(out_b + 128 * b + 32, ob.x.b);
+      fp_to_le(out_b + 128 * b + 64, ob.y.a);
+      fp_to_le(out_b + 128 * b + 96, ob.y.b);
+      fp_to_le(out_c + 64 * b, oc.x);
+      fp_to_le(out_c + 64 * b + 32, oc.y);
+    }
+  };
+  size_t nt = std::thread::hardware_concurrency();
+  if (nt > batch) nt = batch;
+  if (nt > 16) nt = 16;
+  if (nt <= 1) {
+    work(0, batch);
+  } else {
+    std::vector<std::thread> threads;
+    size_t per = (batch + nt - 1) / nt;
+    for (size_t i = 0; i < nt; ++i) {
+      size_t lo = i * per, hi = lo + per < batch ? lo + per : batch;
+      if (lo >= hi) break;
+      threads.emplace_back(work, lo, hi);
+    }
+    for (auto &th : threads) th.join();
+  }
   return 0;
 }
 

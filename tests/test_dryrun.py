@@ -30,6 +30,21 @@ def test_dryrun_ladder_within_budget():
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
     assert "dryrun_multichip OK on 8 devices" in r.stdout
+    # The tier REACHED is the claim, not just "OK": on any host this suite
+    # runs on, the real-circuit tier (depth10 or depth10-lite) must pass —
+    # a silent fallback to toy/pico is a regression (round-4 failure mode).
+    tiers = [
+        line.split("=", 1)[1].strip()
+        for line in r.stdout.splitlines()
+        if line.startswith("DRYRUN_TIER=")
+    ]
+    assert tiers, f"no DRYRUN_TIER line in stdout:\n{r.stdout}"
+    min_tier = os.environ.get("DRYRUN_MIN_TIER", "depth10-lite")
+    ladder = ["pico", "toy", "depth10-lite", "depth10"]
+    assert ladder.index(tiers[-1]) >= ladder.index(min_tier), (
+        f"dryrun fell back to {tiers[-1]!r} (need >= {min_tier!r})\n"
+        f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    )
 
 
 @pytest.mark.dryrun

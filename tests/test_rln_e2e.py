@@ -105,3 +105,69 @@ def test_real_circuit_slashing(rln10):
     (p1, v1), (p2, v2) = rln10.generate_proofs(ws, rs=[1, 2], ss=[3, 4])
     assert rln10.verify(p1, v1) and rln10.verify(p2, v2)
     assert RLN.recover_id_secret(v1, v2) == secret
+
+
+@pytest.fixture(scope="module")
+def rln10_multi():
+    return RLN.stateless(
+        zkey_bytes=load_resource(
+            "tree_depth_10/multi_message_id/max_out_4/rln_final.arkzkey"
+        ),
+        graph_bytes=load_resource(
+            "tree_depth_10/multi_message_id/max_out_4/graph.bin"
+        ),
+    )
+
+
+@pytest.mark.slow
+def test_multi_message_id_prove_verify_slash(rln10_multi, rln10):
+    """Groth16 end-to-end on the multi_message_id/max_out_4 circuit —
+    prove, verify (multi public-input ordering through the real pairing
+    check), tamper-reject, and Single x Multi cross-mode slashing.
+    Reference: rln/tests/proof.rs single/multi matrix."""
+    from zerokit_tpu.protocol.slashing import recover_secret
+
+    assert rln10_multi.max_out() == 4
+    tree = OptimalMerkleTree(rln10_multi.tree_depth())
+    secret = hash_to_field_le(b"multi-e2e-secret")
+    limit = 7
+    tree.set(0, poseidon_hash_pair(poseidon_hash([secret]), limit))
+    mp = tree.proof(0)
+    ext = poseidon_hash_pair(
+        hash_to_field_le(b"multi-epoch"), hash_to_field_le(b"multi-app")
+    )
+    x_multi = hash_to_field_le(b"multi signal")
+    w_multi = RLNWitnessInput.new_multi(
+        secret, limit, [2, 5, 0, 0], mp.get_path_elements(),
+        mp.get_path_index(), x_multi, ext,
+        selector_used=[True, True, False, False],
+    )
+    values = proof_values_from_witness(w_multi)
+    assert values.root == tree.root()
+
+    proof, vals = rln10_multi.generate_proof(w_multi, r=424242, s=171717)
+    assert rln10_multi.verify(proof, vals)
+    # deterministic for fixed blinding
+    proof2, _ = rln10_multi.generate_proof(w_multi, r=424242, s=171717)
+    assert proof == proof2
+    # multi ordering: ys/nullifiers per active slot, inactive slots zeroed
+    assert len(vals.ys) == 4 and len(vals.nullifiers) == 4
+    assert vals.selector_used == [True, True, False, False]
+    # a corrupted nullifier must not verify (public-input ordering is load
+    # bearing: a mis-ordered verifier would accept)
+    bad = dataclasses.replace(
+        vals, nullifiers=[(vals.nullifiers[0] + 1) % R] + vals.nullifiers[1:]
+    )
+    assert not rln10_multi.verify(proof, bad)
+
+    # Single x Multi slashing: same secret signs message_id=2 under the
+    # SINGLE circuit with the same external nullifier -> shared nullifier
+    # -> secret recovery across modes (reference proof.rs:1015-1143)
+    w_single = RLNWitnessInput.new_single(
+        secret, limit, 2, mp.get_path_elements(), mp.get_path_index(),
+        hash_to_field_le(b"single signal"), ext,
+    )
+    p_s, v_s = rln10.generate_proof(w_single, r=5, s=6)
+    assert rln10.verify(p_s, v_s)
+    assert recover_secret(v_s, vals) == secret
+    assert recover_secret(vals, v_s) == secret

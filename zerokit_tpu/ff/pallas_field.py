@@ -29,6 +29,7 @@ Reference semantics: ark-ff Montgomery backend / ark-ec short Weierstrass
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence
 
 import jax
@@ -43,6 +44,31 @@ from .field import FQ, FR, FieldSpec
 L = NUM_LIMBS  # 16
 U32 = jnp.uint32
 MASK = np.uint32(LIMB_MASK)
+
+# Montgomery reduction's two constant multiplies (t[:16] * n', m * p) as MXU
+# matmuls of the operand's byte decomposition against a fixed byte Toeplitz
+# matrix — exact in bf16 (bytes and their products are exact; f32
+# accumulation of <= 64 terms < 2^23 is exact). Measured 1.75x on the
+# mont_mul kernel (tools/mxu_mont_prototype.py); the EC kernels inherit.
+# The Toeplitz matrices ride into every kernel as two extra operands
+# (Pallas forbids captured constants).
+MXU_REDUCE = os.environ.get("ZK_MXU_REDUCE", "1") == "1"
+
+
+def _toeplitz_bytes(limbs16: np.ndarray, n_out_bytecols: int) -> np.ndarray:
+    """Constant (16-bit limbs) -> (32, n_out) byte Toeplitz T with
+    T[i, k] = byte_{k-i}, so (bytes(m) @ T)[k] = byte-column k of m * c."""
+    cbytes = []
+    for v in limbs16:
+        cbytes.append(int(v) & 0xFF)
+        cbytes.append((int(v) >> 8) & 0xFF)
+    t = np.zeros((32, n_out_bytecols), dtype=np.float32)
+    for i in range(32):
+        for k in range(n_out_bytecols):
+            j = k - i
+            if 0 <= j < 32:
+                t[i, k] = cbytes[j]
+    return t
 
 # Lane width per block: (8, W) per limb row; block bytes for one field
 # element = 16 * 8 * W * 4. Sized so a kernel's live row values (inputs,
@@ -162,6 +188,44 @@ class RowField:
         self.p_limbs = spec.p_limbs
         self.ninv_limbs = spec.ninv_limbs
         self.one_limbs = spec.one_mont
+        # MXU reduction operands (byte Toeplitz of n' and p); bound to the
+        # kernel's traced refs by each kernel body via set_mxu
+        self.np_t_ninv = _toeplitz_bytes(self.ninv_limbs, 32)
+        self.np_t_p = _toeplitz_bytes(self.p_limbs, 2 * L * 2)
+        self._mxu_t = None  # (tninv (32,32), tp (32,64)) traced values or None
+
+    def set_mxu(self, operands) -> None:
+        """Binds (or clears) the traced Toeplitz operands for this trace."""
+        self._mxu_t = operands
+
+    def _const_mul_mxu(self, rows, toeplitz, n_cols16: int):
+        """rows: 16 (8, W) u32 limb rows (< 2^16) -> n_cols16 u32 column
+        accumulators of rows * const via one bf16 matmul over the byte
+        decomposition (exact: see MXU_REDUCE note)."""
+        byte_rows = []
+        for r in rows:
+            byte_rows.append(r & jnp.uint32(0xFF))
+            byte_rows.append(r >> jnp.uint32(8))
+        m = jnp.stack(byte_rows)  # (32, 8, W)
+        s8, w = m.shape[1], m.shape[2]
+        # Mosaic lacks direct u32 <-> bf16 casts; go via i32/f32 (exact for
+        # byte-scale values)
+        mb = (
+            m.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        ).reshape(32, s8 * w)
+        out = jax.lax.dot_general(
+            toeplitz[:, : 2 * n_cols16],
+            mb,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2*n_cols16, 8W)
+        outu = out.astype(jnp.int32).astype(jnp.uint32).reshape(2 * n_cols16, s8, w)
+        # byte cols -> 16-bit cols: c16[j] = b[2j] + (b[2j+1] << 8); each
+        # < 2^31, and the limb fold's hi = c >> 16 < 2^15 keeps y < 2^17 so
+        # the Kogge-Stone generate bits stay boolean
+        return [
+            outu[2 * j] + (outu[2 * j + 1] << jnp.uint32(8)) for j in range(n_cols16)
+        ]
 
     def _cond_sub_p(self, rows: List, extra: jnp.ndarray = None) -> List:
         p_rows = _const_rows(self.p_limbs, rows[0])
@@ -200,11 +264,17 @@ class RowField:
     def mont_reduce(self, t_cols: Sequence) -> List:
         """SOS reduction of 32 column accumulators -> 16 reduced limb rows."""
         t, t_extra = _carry_fold_rows(t_cols, 2 * L)
-        ninv = _const_rows(self.ninv_limbs, t[0])
-        m_cols = _mul_cols_rows(t[:L], ninv, L)
+        if self._mxu_t is not None:
+            m_cols = self._const_mul_mxu(t[:L], self._mxu_t[0], L)
+        else:
+            ninv = _const_rows(self.ninv_limbs, t[0])
+            m_cols = _mul_cols_rows(t[:L], ninv, L)
         m, _ = _carry_fold_rows(m_cols, L)
-        p_rows = _const_rows(self.p_limbs, t[0])
-        mp_cols = _mul_cols_rows(m, p_rows, 2 * L)
+        if self._mxu_t is not None:
+            mp_cols = self._const_mul_mxu(m, self._mxu_t[1], 2 * L)
+        else:
+            p_rows = _const_rows(self.p_limbs, t[0])
+            mp_cols = _mul_cols_rows(m, p_rows, 2 * L)
         total = [mp_cols[i] + t[i] for i in range(2 * L)]
         folded, overflow = _carry_fold_rows(total, 2 * L)
         return self._cond_sub_p(folded[L:], overflow + t_extra)
@@ -435,6 +505,34 @@ def _pad_lanes(x, block_lanes: int):
     return jnp.pad(x, pad), n
 
 
+def _mxu_field_for(kernel_name: str) -> RowField:
+    """The RowField whose reduction constants ride into this kernel."""
+    return ROW_FR if kernel_name == "fr_mul" else ROW_FQ
+
+
+def _mxu_args(kernel_name: str):
+    rf = _mxu_field_for(kernel_name)
+    return (
+        jnp.asarray(rf.np_t_ninv, dtype=jnp.bfloat16),
+        jnp.asarray(rf.np_t_p, dtype=jnp.bfloat16),
+    )
+
+
+def _mxu_in_specs():
+    return [
+        pl.BlockSpec((32, 32), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((32, 2 * L * 2), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _bind_mxu(row_field: RowField, t1_ref, t2_ref) -> None:
+    """Clears any stale trace bindings, then binds this kernel's operands."""
+    ROW_FR.set_mxu(None)
+    ROW_FQ.set_mxu(None)
+    if t1_ref is not None:
+        row_field.set_mxu((t1_ref[...], t2_ref[...]))
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _run_elem_kernel(a_flat, b_flat, kernel_name: str, n_out_rows: int):
     """Shared runner for 2-operand elementwise kernels over row blocks."""
@@ -445,23 +543,30 @@ def _run_elem_kernel(a_flat, b_flat, kernel_name: str, n_out_rows: int):
     lane_w = _lane_w(kernel_name)
     grid = (w // lane_w,)
 
+    in_specs = [
+        pl.BlockSpec((rows_a, 8, lane_w), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_b, 8, lane_w), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+    ]
+    args = (a_flat, b_flat)
+    if MXU_REDUCE:
+        in_specs += _mxu_in_specs()
+        args += _mxu_args(kernel_name)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_out_rows, 8, w), jnp.uint32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows_a, 8, lane_w), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_b, 8, lane_w), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (n_out_rows, 8, lane_w), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         interpret=_FORCE_INTERPRET,
-    )(a_flat, b_flat)
+    )(*args)
 
 
 def _make_mul_kernel(row_field: RowField):
-    def kernel(a_ref, b_ref, out_ref):
+    def kernel(a_ref, b_ref, *rest):
+        out_ref = rest[-1]
+        _bind_mxu(row_field, *(rest[:2] if MXU_REDUCE else (None, None)))
         a = [a_ref[i] for i in range(L)]
         b = [b_ref[i] for i in range(L)]
         out = row_field.mul(a, b)
@@ -490,23 +595,30 @@ def _make_ec_kernel(components: int, op: str):
                 for i in range(L):
                     ref[(c * C + comp) * L + i] = elem[comp][i]
 
+    def _bind(rest):
+        _bind_mxu(ROW_FQ, *(rest[:2] if MXU_REDUCE else (None, None)))
+        return rest[-1]
+
     if op == "add":
 
-        def kernel(p_ref, q_ref, out_ref):
+        def kernel(p_ref, q_ref, *rest):
+            out_ref = _bind(rest)
             p = load_point(p_ref, 3)
             q = load_point(q_ref, 3)
             store_point(out_ref, rcb_add(ra, p, q))
 
     elif op == "add_mixed":
 
-        def kernel(p_ref, q_ref, out_ref):
+        def kernel(p_ref, q_ref, *rest):
+            out_ref = _bind(rest)
             p = load_point(p_ref, 3)
             q = load_point(q_ref, 2)
             store_point(out_ref, rcb_add_mixed(ra, p, q))
 
     elif op == "double":
 
-        def kernel(p_ref, q_ref, out_ref):  # q_ref unused (dummy)
+        def kernel(p_ref, q_ref, *rest):  # q_ref unused (dummy)
+            out_ref = _bind(rest)
             p = load_point(p_ref, 3)
             store_point(out_ref, rcb_double(ra, p))
 
@@ -559,31 +671,57 @@ def _scan_identity_rows(like, components: int):
     return rows
 
 
-def _make_scan_kernel(components: int, kind: str):
+def _make_scan_kernel(components: int, kind: str, packed_io: bool = False):
     """Rows are LIMB-MAJOR, word order (limb, comp, coord) — exactly the AoS
     table-row word order (tables_to_aos_s), so gathered rows feed the kernel
-    with a pure reshape and the outputs row-gather the same way."""
+    with a pure reshape and the outputs row-gather the same way.
+
+    packed_io: HBM-facing rows pack limb PAIRS into one u32 word (word order
+    (limb_pair, comp, coord), value = limb[2j] | limb[2j+1] << 16) — limbs
+    are 16-bit so this halves the gather/transpose traffic of the fused MSM
+    around these scans. The carry scratch stays unpacked."""
     ra = row_adapter_for(components)
     C = components
     in_coords = 2 if kind == "mixed" else 3
 
-    def load(ref, coords, lead=True):
+    def load(ref, coords, lead=True, packed=False):
         idx = (lambda r: (0, r)) if lead else (lambda r: (r,))
         pt = [[[None] * L for _ in range(C)] for _ in range(coords)]
-        for i in range(L):
-            for m in range(C):
-                for c in range(coords):
-                    pt[c][m][i] = ref[idx((i * C + m) * coords + c)]
+        if packed:
+            for j in range(L // 2):
+                for m in range(C):
+                    for c in range(coords):
+                        w = ref[idx((j * C + m) * coords + c)]
+                        pt[c][m][2 * j] = w & jnp.uint32(0xFFFF)
+                        pt[c][m][2 * j + 1] = w >> jnp.uint32(16)
+        else:
+            for i in range(L):
+                for m in range(C):
+                    for c in range(coords):
+                        pt[c][m][i] = ref[idx((i * C + m) * coords + c)]
         return pt
 
-    def store(ref, pt, lead=True):
+    def store(ref, pt, lead=True, packed=False):
         idx = (lambda r: (0, r)) if lead else (lambda r: (r,))
+        if packed:
+            for j in range(L // 2):
+                for m in range(C):
+                    for c in range(3):
+                        w = pt[c][m][2 * j] | (pt[c][m][2 * j + 1] << jnp.uint32(16))
+                        ref[idx((j * C + m) * 3 + c)] = w
+            return
         for i in range(L):
             for m in range(C):
                 for c in range(3):
                     ref[idx((i * C + m) * 3 + c)] = pt[c][m][i]
 
-    def kernel(x_ref, out_ref, carry_ref):
+    def kernel(x_ref, *rest):
+        if MXU_REDUCE:
+            t1_ref, t2_ref, out_ref, carry_ref = rest
+            _bind_mxu(ROW_FQ, t1_ref, t2_ref)
+        else:
+            out_ref, carry_ref = rest
+            _bind_mxu(ROW_FQ, None, None)
         k_idx = pl.program_id(1)
 
         @pl.when(k_idx == 0)
@@ -594,63 +732,81 @@ def _make_scan_kernel(components: int, kind: str):
                 carry_ref[r] = rows[r]
 
         carry = load(carry_ref, 3, lead=False)
-        x = load(x_ref, in_coords)
+        x = load(x_ref, in_coords, packed=packed_io)
         if kind == "mixed":
             new = rcb_add_mixed(ra, carry, x)
-            store(out_ref, new)
+            store(out_ref, new, packed=packed_io)
             store(carry_ref, new, lead=False)
         else:  # exclusive projective prefixes
-            store(out_ref, carry)
+            store(out_ref, carry, packed=packed_io)
             new = rcb_add(ra, carry, x)
             store(carry_ref, new, lead=False)
 
     return kernel
 
 
-def _run_scan_kernel_impl(x_flat, components: int, kind: str):
+def _run_scan_kernel_impl(x_flat, components: int, kind: str, packed_io: bool = False):
     """x_flat: (k, in_rows, 8, w) -> (k, out_rows, 8, w) prefix points."""
     C = components
-    in_rows = (2 if kind == "mixed" else 3) * C * L
-    out_rows = 3 * C * L
+    half = 2 if packed_io else 1
+    in_rows = (2 if kind == "mixed" else 3) * C * L // half
+    out_rows = 3 * C * L // half
     k_steps, rows, _, w = x_flat.shape
     assert rows == in_rows
     name = f"g{'1' if C == 1 else '2'}_scan_{'mixed' if kind == 'mixed' else 'excl'}"
     lane_w = _lane_w(name)
     grid = (w // lane_w, k_steps)
-    kern = _make_scan_kernel(C, kind)
+    kern = _make_scan_kernel(C, kind, packed_io)
+    in_specs = [
+        pl.BlockSpec(
+            (1, in_rows, 8, lane_w),
+            lambda j, kk: (kk, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    args = (x_flat,)
+    if MXU_REDUCE:
+        in_specs += [
+            pl.BlockSpec((32, 32), lambda j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (32, 2 * L * 2), lambda j, kk: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        args += _mxu_args(name)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((k_steps, out_rows, 8, w), jnp.uint32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, in_rows, 8, lane_w),
-                lambda j, kk: (kk, 0, 0, j),
-                memory_space=pltpu.VMEM,
-            )
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, out_rows, 8, lane_w),
             lambda j, kk: (kk, 0, 0, j),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((out_rows, 8, lane_w), jnp.uint32)],
+        # the carry scratch always holds UNPACKED limbs
+        scratch_shapes=[pltpu.VMEM((3 * C * L, 8, lane_w), jnp.uint32)],
         interpret=_FORCE_INTERPRET,
-    )(x_flat)
+    )(*args)
 
 
-_run_scan_kernel = jax.jit(_run_scan_kernel_impl, static_argnums=(1, 2))
+_run_scan_kernel = jax.jit(_run_scan_kernel_impl, static_argnums=(1, 2, 3))
 
 
-def ec_scan_rows(components: int, x_rows: jnp.ndarray, kind: str) -> jnp.ndarray:
+def ec_scan_rows(
+    components: int, x_rows: jnp.ndarray, kind: str, packed_io: bool = False
+) -> jnp.ndarray:
     """Grid-carry EC prefix scan over the leading k axis.
 
     x_rows: (k, in_rows, N) u32 with LIMB-MAJOR word rows — in_rows =
     16*C*coords where coords = 2 for kind="mixed" (affine inputs, inclusive
     prefixes) and 3 for kind="excl" (projective inputs, exclusive prefixes).
     Returns (k, 16*C*3, N) projective prefix points in the same row order.
+
+    packed_io=True halves both row widths: words hold LIMB PAIRS
+    (limb[2j] | limb[2j+1] << 16) in (limb_pair, comp, coord) order.
     """
     C = components
+    half = 2 if packed_io else 1
     k_steps, in_rows, n = x_rows.shape
     name = f"g{'1' if C == 1 else '2'}_scan_{'mixed' if kind == 'mixed' else 'excl'}"
     blk = 8 * _lane_w(name)
@@ -661,8 +817,8 @@ def ec_scan_rows(components: int, x_rows: jnp.ndarray, kind: str) -> jnp.ndarray
     # interpret mode runs eagerly: under jit the interpreter's op stream
     # would itself be compiled by XLA:CPU (minutes for the limb chains)
     run = _run_scan_kernel_impl if _FORCE_INTERPRET else _run_scan_kernel
-    out = run(x3, C, kind)
-    return out.reshape(k_steps, 3 * C * L, target)[:, :, :n]
+    out = run(x3, C, kind, packed_io)
+    return out.reshape(k_steps, 3 * C * L // half, target)[:, :, :n]
 
 
 # --------------------------------------------------------------------------

@@ -59,18 +59,35 @@ N_BUCKETS = 1 << C_BITS
 N_WINDOWS = 32  # 256 bits / 8
 # Window-group size: bounds the prefix-array footprint. The block scan keeps
 # the projective fine-prefix array resident: 192 * C * G * n * B bytes; cap
-# C*G*B so the peak stays a few GB at n = 8192.
-MAX_CGB = 1024
+# C*G*B so the peak stays a few GB at n = 8192. ZK_MAX_CGB overrides for
+# batch-class experiments (tools/msm_profile.py).
+MAX_CGB = int(os.environ.get("ZK_MAX_CGB", "1024"))
 K_BLOCK = 32  # intra-block scan length (n is padded to a multiple)
 PAD_GRANULARITY = 4096  # base sets pad up so equal-size MSMs share a compile
 # Max lanes per pipeline pass: larger batches stream through the SAME
-# compiled programs in LANE_BATCH-sized chunks. Without this, every batch
-# size class shrank the window group -> new program shapes -> a fresh
-# multi-minute compile storm per class AND ~13 GB fine-prefix intermediates
-# at B=64 (the round-2 b64 bench regressed 30x per proof for exactly these
-# two reasons). Chunking pins both compile shapes and peak memory to the
-# B=16 class.
-LANE_BATCH = 16
+# compiled programs in LANE_BATCH-sized chunks. The pin exists because every
+# batch size class is a fresh set of program shapes (a multi-minute compile
+# storm the first time) and scales the fine-prefix intermediates; 16 pins
+# both to the B=16 class. Round-5 measurement on the real chip
+# (tools/msm_profile.py, G1 n=8192): the per-pass fixed dispatch+XLA-glue
+# cost amortizes with the class size, so the TPU default is raised where
+# the measurement supports it; XLA:CPU keeps 16 (its compile cost per class
+# is far worse and the virtual-mesh tests never stream big batches).
+# Override with ZK_LANE_BATCH=<n>.
+
+
+def _default_lane_batch() -> int:
+    import os
+
+    forced = os.environ.get("ZK_LANE_BATCH")
+    if forced:
+        return int(forced)
+    from ..ff import pallas_field as pf
+
+    return 64 if pf.available() else 16
+
+
+LANE_BATCH = _default_lane_batch()
 
 
 def encode_affine_points(points, adapter) -> np.ndarray:
@@ -296,6 +313,18 @@ def tables_to_aos_s(adapter, tables: jnp.ndarray) -> jnp.ndarray:
     return t.reshape(s, w * n, NUM_LIMBS * adapter.components * 2)
 
 
+def pack_aos_rows(rows: jnp.ndarray, components: int) -> jnp.ndarray:
+    """(S, N, 16*C*cds) u32 AoS rows (word order (limb, comp, coord), limbs
+    < 2^16) -> (S, N, 8*C*cds) with limb PAIRS packed per word
+    (limb[2j] | limb[2j+1] << 16) — halves the fused path's gather traffic
+    (pallas_field ec_scan_rows packed_io unpacks in-kernel)."""
+    s, n, k = rows.shape
+    cd = k // (NUM_LIMBS * components)
+    r = rows.reshape(s, n, NUM_LIMBS // 2, 2, components, cd)
+    packed = r[:, :, :, 0] | (r[:, :, :, 1] << jnp.uint32(16))
+    return packed.reshape(s, n, k // 2)
+
+
 def build_window_tables(
     prims, points_s: jnp.ndarray, n_windows: int = N_WINDOWS, c_bits: int = C_BITS
 ) -> jnp.ndarray:
@@ -411,6 +440,7 @@ class MSM:
         self.points = jnp.asarray(encode_affine_points(points, adapter))
         self._prim_fns = _prims(adapter)
         self._tables = None
+        self._tables_packed = None
         # the single-program MSM pass (msm_fused.py) needs the Pallas group
         # laws and a TPU-friendly compiler; the eager pipeline stays the
         # default on CPU (XLA:CPU compile economy — see module docstring)
@@ -435,6 +465,14 @@ class MSM:
             )
             self._tables = tables_to_aos_s(self.adapter, t)
         return self._tables
+
+    def tables_packed(self) -> jnp.ndarray:
+        """Half-width AoS rows (limb pairs per word) for the fused path."""
+        if self._tables_packed is None:
+            self._tables_packed = pack_aos_rows(
+                self.tables(), self.adapter.components
+            )
+        return self._tables_packed
 
     def __call__(
         self, scalars_canon: jnp.ndarray, mask: Optional[jnp.ndarray] = None
@@ -466,7 +504,7 @@ class MSM:
 
             try:
                 return fused_msm_pass(
-                    self.adapter, self.tables(), scalars, self.n,
+                    self.adapter, self.tables_packed(), scalars, self.n,
                     self.n_windows, self.c_bits,
                 )
             except Exception as e:  # remote-compiler rejection: eager fallback
@@ -562,7 +600,7 @@ class FusedMSMGroup:
     def tables_cat(self):
         if self._tables_cat is None:
             self._tables_cat = jnp.concatenate(
-                [m.tables()[0] for m in self.msms], axis=0
+                [m.tables_packed()[0] for m in self.msms], axis=0
             )
         return self._tables_cat
 

@@ -104,8 +104,11 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
         return jnp.squeeze(xs, axis=axis)
 
     nb_blk = n // k  # blocks per window
-    rows_in = NUM_LIMBS * comps * 2
-    rows_out = NUM_LIMBS * comps * 3
+    # HBM-facing AoS rows pack limb pairs per u32 word (limbs are 16-bit):
+    # halves the table gather, the fine/coarse transposes, and the Q_d row
+    # gathers — the scan kernels unpack/repack in VMEM (packed_io)
+    rows_in = NUM_LIMBS * comps * 2 // 2
+    rows_out = NUM_LIMBS * comps * 3 // 2
 
     def run(tables_flat, scalars):
         from ..ff import pallas_field as pf
@@ -113,9 +116,13 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
         batch = scalars.shape[2]
 
         def rows_to_soa(r, positions):
-            """(G*pos*B, rows_out) limb-major AoS -> (16,C,3,G,pos,B)."""
-            t = r.reshape(group, positions, batch, NUM_LIMBS, comps, 3)
-            return jnp.transpose(t, (3, 4, 5, 0, 1, 2))
+            """(G*pos*B, rows_out) packed limb-pair AoS -> (16,C,3,G,pos,B)."""
+            t = r.reshape(group, positions, batch, NUM_LIMBS // 2, comps, 3)
+            lo = t & jnp.uint32(0xFFFF)
+            hi = t >> jnp.uint32(16)
+            st = jnp.stack([lo, hi], axis=4)  # (G,P,B,8,2,C,3)
+            st = jnp.transpose(st, (3, 4, 5, 6, 0, 1, 2))  # (8,2,C,3,G,P,B)
+            return st.reshape(NUM_LIMBS, comps, 3, group, positions, batch)
 
         digits = digits_of(scalars)  # (W, n, B)
         if stage == "digits":
@@ -163,7 +170,9 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
             # -- intra-block inclusive prefixes: ONE grid-carry kernel ---
             lanes = group * nb_blk * batch
             xk = jnp.swapaxes(rows.reshape(k, lanes, rows_in), 1, 2)
-            fine_k = pf.ec_scan_rows(comps, xk, "mixed")  # (k, rows_out, lanes)
+            fine_k = pf.ec_scan_rows(
+                comps, xk, "mixed", packed_io=True
+            )  # (k, rows_out, lanes)
             if stage == "fine":
                 cuts.append(fine_k.sum())
                 continue
@@ -172,7 +181,9 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
             tx = jnp.moveaxis(
                 totals.reshape(rows_out, group, nb_blk, batch), 2, 0
             ).reshape(nb_blk, rows_out, group * batch)
-            coarse_k = pf.ec_scan_rows(comps, tx, "excl")  # (NB, rows_out, G*B)
+            coarse_k = pf.ec_scan_rows(
+                comps, tx, "excl", packed_io=True
+            )  # (NB, rows_out, G*B)
             if stage == "coarse":
                 cuts.append(coarse_k.sum() + fine_k.sum())
                 continue

@@ -70,6 +70,11 @@ class ProverError(ValueError):
 
 
 class Groth16Prover:
+    # Class-level default: provers assembled via ``Groth16Prover.__new__``
+    # (mesh parity helpers, dryrun tiers, tests) skip __init__ and must still
+    # find the fused-group slot defined.
+    _g1_group = None
+
     def __init__(self, zkey: Zkey, graph: graphmod.Graph, mesh=None):
         """mesh: optional jax.sharding.Mesh with ("dp", "tp") axes. When set,
         the five proving MSMs shard their base points over "tp" (cached
@@ -267,16 +272,26 @@ class Groth16Prover:
                 h_pts = self.msm_h.to_affine_ints(self.msm_h(h_canon))
 
         pk = self.zkey.pk
-        proofs: List[Proof] = []
         t_assembly = stage_timer(metrics, "host_assembly")
         t_assembly.__enter__()
-        for b in range(batch):
-            proofs.append(
+        from ..runtime import native
+
+        if native.assemble_available():
+            # one native call for the whole batch: fixed-base window tables
+            # for alpha/beta1/delta1/delta2 + Straus chains, threaded over
+            # proofs (native/pairing.cpp rln_groth16_assemble_batch)
+            proofs = native.groth16_assemble_batch_native(
+                pk, a_pts[:batch], b1_pts[:batch], b2_pts[:batch],
+                l_pts[:batch], h_pts[:batch], rs, ss,
+            )
+        else:
+            proofs = [
                 self._assemble(
                     pk, rs[b], ss[b], a_pts[b], b1_pts[b], b2_pts[b],
                     l_pts[b], h_pts[b],
                 )
-            )
+                for b in range(batch)
+            ]
         t_assembly.__exit__(None, None, None)
         return proofs
 

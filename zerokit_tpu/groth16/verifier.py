@@ -34,6 +34,44 @@ def prepare_verifying_key(vk: VerifyingKey) -> PreparedVerifyingKey:
     return PreparedVerifyingKey(vk)
 
 
+def proof_points_valid(proof) -> bool:
+    """Validation of UNTRUSTED proof points before any pairing math — the
+    analog of ark CanonicalDeserialize's checked deserialization (the
+    reference gets this for free when decoding proof bytes): canonical
+    coordinate range, on-curve, and r-torsion subgroup membership for the
+    G2 element (proof malleability / undefined pairing semantics otherwise).
+    Native check (~60 us) when the library is built; Python fallback."""
+    from ..runtime import native
+
+    a, b, c = proof
+    got_a = native.g1_is_valid_native(a)
+    got_c = native.g1_is_valid_native(c)
+    got_b = native.g2_is_valid_native(b)
+    if got_a is not None and got_b is not None and got_c is not None:
+        return got_a and got_b and got_c
+    for p in (a, c):
+        if p is not None and not (
+            0 <= p[0] < bn254.Q and 0 <= p[1] < bn254.Q and bn254.G1.is_on_curve(p)
+        ):
+            return False
+    if b is not None:
+        if not all(0 <= v < bn254.Q for xy in b for v in xy):
+            return False
+        if not bn254.G2.is_on_curve(b):
+            return False
+        # subgroup: [r]Q == inf (raw ladder — Group.mul reduces k mod r,
+        # which would make this check vacuous)
+        acc, base, k = None, b, bn254.R
+        while k:
+            if k & 1:
+                acc = bn254.G2.add(acc, base)
+            base = bn254.G2.double(base)
+            k >>= 1
+        if acc is not None:
+            return False
+    return True
+
+
 def verify_proof(pvk: PreparedVerifyingKey, proof, public_inputs: Sequence[int]) -> bool:
     """proof = (a: G1, b: G2, c: G1) affine tuples; public_inputs: Fr ints.
 
@@ -44,6 +82,8 @@ def verify_proof(pvk: PreparedVerifyingKey, proof, public_inputs: Sequence[int])
         raise ValueError(
             f"expected {len(vk.gamma_abc_g1) - 1} public inputs, got {len(public_inputs)}"
         )
+    if not proof_points_valid(proof):
+        return False
     a, b, c = proof
     from ..runtime import native
 
@@ -57,9 +97,7 @@ def verify_proof(pvk: PreparedVerifyingKey, proof, public_inputs: Sequence[int])
             (acc, vk.gamma_g2),
             (c, vk.delta_g2),
         ]
-        got = native.multi_pairing_is_one_native(pairs)
-        if got is not None:
-            return got
+        return native.multi_pairing_is_one_native(pairs)
     acc = vk.gamma_abc_g1[0]
     for s, base in zip(public_inputs, vk.gamma_abc_g1[1:]):
         acc = bn254.G1.add(acc, bn254.G1.mul(base, s))
@@ -105,6 +143,8 @@ def verify_batch(
             raise ValueError(f"expected {n_pub} public inputs, got {len(pubs)}")
     if len(proofs) == 1:
         return verify_proof(pvk, proofs[0], public_inputs_list[0])
+    if not all(proof_points_valid(p) for p in proofs):
+        return False
     rand = (lambda: rng.randrange(1, 1 << 126)) if rng is not None else (
         lambda: 1 + secrets.randbits(126)
     )
@@ -116,11 +156,8 @@ def verify_batch(
 
     def g1_msm(points, scalars):
         if use_native:
-            out = native.g1_msm_native(points, [s % bn254.R for s in scalars])
-            if out is not None or all(
-                p is None or s % bn254.R == 0 for p, s in zip(points, scalars)
-            ):
-                return out
+            # native raises NativeCallError on failure; None means infinity
+            return native.g1_msm_native(points, [s % bn254.R for s in scalars])
         return bn254.G1.msm(points, scalars)
 
     # sum_i r_i IC_i = (sum r_i) abc_0 + sum_j (sum_i r_i pub_ij) base_j
@@ -137,9 +174,7 @@ def verify_batch(
     ]
     pairs += [(alpha_r, vk.beta_g2), (ic, vk.gamma_g2), (c_comb, vk.delta_g2)]
     if use_native:
-        got = native.multi_pairing_is_one_native(pairs)
-        if got is not None:
-            return got
+        return native.multi_pairing_is_one_native(pairs)
     return bn254.multi_pairing_is_one(pairs)
 
 

@@ -13,7 +13,7 @@ def build() -> str:
         os.path.join(NATIVE_DIR, "pairing.cpp"),
     ]
     out = os.path.join(NATIVE_DIR, "librln_native.so")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out] + srcs
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17", "-o", out] + srcs
     subprocess.run(cmd, check=True)
     return out
 
