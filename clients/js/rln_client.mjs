@@ -240,6 +240,34 @@ export function rootAccepted(proofBytes, roots) {
   return roots.some((r) => (r instanceof Uint8Array ? bytesToFr(r) : BigInt(r)) === values.root);
 }
 
+/** LOCAL Groth16 verification — no service round trip (the in-client verify
+ *  of the reference's WasmRLN, wasm_rln.rs:28-43): parses the 128-byte
+ *  compressed proof, orders the public inputs from the proof values, and
+ *  runs the BigInt pairing check (pairing.mjs). vk comes from the engine
+ *  (see tools/export_js_fixture.py for the JSON shape, or GET /vk when the
+ *  service exposes it). Throws on malformed/non-subgroup proof points;
+ *  returns false on a failed pairing. ~100s of ms of BigInt math — use the
+ *  service's /verify for high-rate paths. */
+export async function verifyProofLocal(proofBytes, vk, { x = null, roots = [] } = {}) {
+  const { proofFromBytes, verifyGroth16, rlnPublicInputs } = await import(
+    "./pairing.mjs"
+  );
+  const { values } = parseProof(proofBytes);
+  // V3 ordering: root/x checks BEFORE the pairing (public.rs:944-952)
+  if (roots.length && !rootAccepted(proofBytes, roots)) return false;
+  if (x !== null) {
+    const xv = x instanceof Uint8Array ? bytesToFr(x) : BigInt(x);
+    if (xv !== values.x) return false;
+  }
+  let proof;
+  try {
+    proof = proofFromBytes(proofBytes.subarray(1, 129));
+  } catch {
+    return false; // invalid points = invalid proof (ark decode semantics)
+  }
+  return verifyGroth16(vk, proof, rlnPublicInputs(values));
+}
+
 export class Identity {
   constructor({ secret, commitment, trapdoor = null, nullifier = null }) {
     this.secret = secret;

@@ -198,6 +198,64 @@ int rln_generate_proof_with_rs(uint64_t handle, const uint8_t *witness,
 int rln_generate_proofs(uint64_t handle, size_t count, const uint8_t *witnesses,
                         size_t witnesses_len, int be, rln_buffer *out);
 
+/* ---- component-wise witness construction + per-field accessors ----------
+ * (reference ffi_rln_v3.rs:507-1605 ergonomics: C callers build and inspect
+ * witnesses field-by-field instead of hand-rolling the wire layout).
+ * path_elements / message_ids: vec<Fr> wire bytes (rln_vec_fr_build);
+ * path_index / selectors: vec<u8> wire bytes (rln_vec_u8_build). */
+int rln_witness_build_single(const uint8_t secret[32], uint64_t limit,
+                             uint64_t message_id, const uint8_t *path_elements,
+                             size_t path_elements_len,
+                             const uint8_t *path_index, size_t path_index_len,
+                             const uint8_t x[32],
+                             const uint8_t external_nullifier[32], int be,
+                             rln_buffer *out);
+int rln_witness_build_multi(const uint8_t secret[32], uint64_t limit,
+                            const uint8_t *message_ids, size_t message_ids_len,
+                            const uint8_t *selectors, size_t selectors_len,
+                            const uint8_t *path_elements,
+                            size_t path_elements_len, const uint8_t *path_index,
+                            size_t path_index_len, const uint8_t x[32],
+                            const uint8_t external_nullifier[32], int be,
+                            rln_buffer *out);
+/* Per-field getters over witness wire bytes; scalars as one 32-byte Fr,
+ * vectors as vec<Fr>/vec<u8> wire bytes. */
+int rln_witness_identity_secret(const uint8_t *witness, size_t len, int be,
+                                rln_buffer *out);
+int rln_witness_user_message_limit(const uint8_t *witness, size_t len, int be,
+                                   rln_buffer *out);
+int rln_witness_message_ids(const uint8_t *witness, size_t len, int be,
+                            rln_buffer *out);
+int rln_witness_x(const uint8_t *witness, size_t len, int be, rln_buffer *out);
+int rln_witness_external_nullifier(const uint8_t *witness, size_t len, int be,
+                                   rln_buffer *out);
+int rln_witness_path_elements(const uint8_t *witness, size_t len, int be,
+                              rln_buffer *out);
+int rln_witness_path_index(const uint8_t *witness, size_t len, int be,
+                           rln_buffer *out);
+/* Active y share(s) / selector flags from proof-values wire bytes. */
+int rln_proof_values_ys(const uint8_t *values, size_t len, int be,
+                        rln_buffer *out);
+int rln_proof_values_selectors(const uint8_t *values, size_t len, int be,
+                               rln_buffer *out);
+
+/* ---- Fr field helpers (reference ffi_utils.rs CFr arithmetic) ----------
+ * 32-byte field elements (LE when be = 0); out is always 32 bytes. */
+int rln_fr_add(const uint8_t a[32], const uint8_t b[32], int be,
+               rln_buffer *out);
+int rln_fr_sub(const uint8_t a[32], const uint8_t b[32], int be,
+               rln_buffer *out);
+int rln_fr_mul(const uint8_t a[32], const uint8_t b[32], int be,
+               rln_buffer *out);
+/* Division by zero is an error (nonzero rc + rln_last_error). */
+int rln_fr_div(const uint8_t a[32], const uint8_t b[32], int be,
+               rln_buffer *out);
+int rln_fr_neg(const uint8_t a[32], int be, rln_buffer *out);
+int rln_fr_inv(const uint8_t a[32], int be, rln_buffer *out);
+int rln_fr_from_uint64(uint64_t v, int be, rln_buffer *out);
+/* Uniform random Fr (rejection-sampled, ark Fr::rand semantics). */
+int rln_fr_random(int be, rln_buffer *out);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

@@ -715,4 +715,157 @@ int rln_generate_proofs(uint64_t handle, size_t count, const uint8_t *witnesses,
       out);
 }
 
+/* ---- component-wise witness construction + per-field accessors ---------- */
+
+int rln_witness_build_single(const uint8_t secret[32], uint64_t limit,
+                             uint64_t message_id, const uint8_t *path_elements,
+                             size_t path_elements_len,
+                             const uint8_t *path_index, size_t path_index_len,
+                             const uint8_t x[32],
+                             const uint8_t external_nullifier[32], int be,
+                             rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("witness_build_single",
+                Py_BuildValue("(y#KKy#y#y#y#i)", (const char *)secret,
+                              (Py_ssize_t)32, (unsigned long long)limit,
+                              (unsigned long long)message_id,
+                              (const char *)path_elements,
+                              (Py_ssize_t)path_elements_len,
+                              (const char *)path_index,
+                              (Py_ssize_t)path_index_len, (const char *)x,
+                              (Py_ssize_t)32, (const char *)external_nullifier,
+                              (Py_ssize_t)32, be)),
+      out);
+}
+
+int rln_witness_build_multi(const uint8_t secret[32], uint64_t limit,
+                            const uint8_t *message_ids, size_t message_ids_len,
+                            const uint8_t *selectors, size_t selectors_len,
+                            const uint8_t *path_elements,
+                            size_t path_elements_len, const uint8_t *path_index,
+                            size_t path_index_len, const uint8_t x[32],
+                            const uint8_t external_nullifier[32], int be,
+                            rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("witness_build_multi",
+                Py_BuildValue(
+                    "(y#Ky#y#y#y#y#y#i)", (const char *)secret, (Py_ssize_t)32,
+                    (unsigned long long)limit, (const char *)message_ids,
+                    (Py_ssize_t)message_ids_len, (const char *)selectors,
+                    (Py_ssize_t)selectors_len, (const char *)path_elements,
+                    (Py_ssize_t)path_elements_len, (const char *)path_index,
+                    (Py_ssize_t)path_index_len, (const char *)x, (Py_ssize_t)32,
+                    (const char *)external_nullifier, (Py_ssize_t)32, be)),
+      out);
+}
+
+int rln_witness_identity_secret(const uint8_t *witness, size_t len, int be,
+                                rln_buffer *out) {
+  return bytes_be_call("witness_identity_secret", witness, len, be, out);
+}
+
+int rln_witness_user_message_limit(const uint8_t *witness, size_t len, int be,
+                                   rln_buffer *out) {
+  return bytes_be_call("witness_user_message_limit", witness, len, be, out);
+}
+
+int rln_witness_message_ids(const uint8_t *witness, size_t len, int be,
+                            rln_buffer *out) {
+  return bytes_be_call("witness_message_ids", witness, len, be, out);
+}
+
+int rln_witness_x(const uint8_t *witness, size_t len, int be,
+                  rln_buffer *out) {
+  return bytes_be_call("witness_x", witness, len, be, out);
+}
+
+int rln_witness_external_nullifier(const uint8_t *witness, size_t len, int be,
+                                   rln_buffer *out) {
+  return bytes_be_call("witness_external_nullifier", witness, len, be, out);
+}
+
+int rln_witness_path_elements(const uint8_t *witness, size_t len, int be,
+                              rln_buffer *out) {
+  return bytes_be_call("witness_path_elements", witness, len, be, out);
+}
+
+int rln_witness_path_index(const uint8_t *witness, size_t len, int be,
+                           rln_buffer *out) {
+  return bytes_be_call("witness_path_index", witness, len, be, out);
+}
+
+int rln_proof_values_ys(const uint8_t *values, size_t len, int be,
+                        rln_buffer *out) {
+  return bytes_be_call("proof_values_ys", values, len, be, out);
+}
+
+int rln_proof_values_selectors(const uint8_t *values, size_t len, int be,
+                               rln_buffer *out) {
+  return bytes_be_call("proof_values_selectors", values, len, be, out);
+}
+
+/* ---- Fr field helpers (reference ffi_utils.rs CFr arithmetic) ----------- */
+
+static int fr_binop_call(const char *op, const uint8_t a[32],
+                         const uint8_t b[32], int be, rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("fr_binop",
+                Py_BuildValue("(sy#y#i)", op, (const char *)a, (Py_ssize_t)32,
+                              (const char *)b, (Py_ssize_t)32, be)),
+      out);
+}
+
+static int fr_unop_call(const char *op, const uint8_t a[32], int be,
+                        rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("fr_unop", Py_BuildValue("(sy#i)", op, (const char *)a,
+                                         (Py_ssize_t)32, be)),
+      out);
+}
+
+int rln_fr_add(const uint8_t a[32], const uint8_t b[32], int be,
+               rln_buffer *out) {
+  return fr_binop_call("add", a, b, be, out);
+}
+
+int rln_fr_sub(const uint8_t a[32], const uint8_t b[32], int be,
+               rln_buffer *out) {
+  return fr_binop_call("sub", a, b, be, out);
+}
+
+int rln_fr_mul(const uint8_t a[32], const uint8_t b[32], int be,
+               rln_buffer *out) {
+  return fr_binop_call("mul", a, b, be, out);
+}
+
+int rln_fr_div(const uint8_t a[32], const uint8_t b[32], int be,
+               rln_buffer *out) {
+  return fr_binop_call("div", a, b, be, out);
+}
+
+int rln_fr_neg(const uint8_t a[32], int be, rln_buffer *out) {
+  return fr_unop_call("neg", a, be, out);
+}
+
+int rln_fr_inv(const uint8_t a[32], int be, rln_buffer *out) {
+  return fr_unop_call("inv", a, be, out);
+}
+
+int rln_fr_from_uint64(uint64_t v, int be, rln_buffer *out) {
+  GilScope gil;
+  return finish_call(
+      call_glue("fr_from_uint64",
+                Py_BuildValue("(Ki)", (unsigned long long)v, be)),
+      out);
+}
+
+int rln_fr_random(int be, rln_buffer *out) {
+  GilScope gil;
+  return finish_call(call_glue("fr_random", Py_BuildValue("(i)", be)), out);
+}
+
 }  // extern "C"

@@ -381,3 +381,120 @@ def test_ffi_config_file_ctor_and_leaves(lib, tmp_path):
         str(big).encode(),
     )
     assert h2 == 0
+
+
+def test_ffi_witness_accessors_and_builders(lib):
+    """Component-wise witness construction + per-field getters must
+    round-trip against the Python wire codec (reference ffi_rln_v3.rs
+    per-field ergonomics)."""
+    from zerokit_tpu.protocol.witness import RLNWitnessInput
+
+    secret = hash_to_field_le(b"ffi-breadth-secret")
+    limit, mid = 7, 3
+    elems = [poseidon_hash([i]) for i in range(4)]
+    idxs = [0, 1, 1, 0]
+    x = hash_to_field_le(b"ffi-x")
+    ext = hash_to_field_le(b"ffi-ext")
+
+    # vec wire helpers
+    elems_flat = b"".join(fr(e) for e in elems)
+    buf = RlnBuffer()
+    assert lib.rln_vec_fr_build(elems_flat, len(elems_flat), 0, ctypes.byref(buf)) == 0
+    elems_vec = take(lib, buf)
+    assert lib.rln_vec_u8_build(bytes(idxs), len(idxs), 0, ctypes.byref(buf)) == 0
+    idx_vec = take(lib, buf)
+
+    assert (
+        lib.rln_witness_build_single(
+            fr(secret), ctypes.c_uint64(limit), ctypes.c_uint64(mid),
+            elems_vec, ctypes.c_size_t(len(elems_vec)),
+            idx_vec, ctypes.c_size_t(len(idx_vec)),
+            fr(x), fr(ext), 0, ctypes.byref(buf),
+        )
+        == 0
+    ), lib.rln_last_error()
+    wire = take(lib, buf)
+    want = ser.rln_witness_to_bytes(
+        RLNWitnessInput.new_single(secret, limit, mid, elems, idxs, x, ext), False
+    )
+    assert wire == want
+
+    # per-field getters
+    def get(name, expect):
+        fn = getattr(lib, name)
+        b = RlnBuffer()
+        assert fn(wire, len(wire), 0, ctypes.byref(b)) == 0, lib.rln_last_error()
+        assert take(lib, b) == expect, name
+
+    get("rln_witness_identity_secret", fr(secret))
+    get("rln_witness_user_message_limit", fr(limit))
+    get("rln_witness_x", fr(x))
+    get("rln_witness_external_nullifier", fr(ext))
+    get("rln_witness_message_ids", ser.vec_fr_to_bytes([mid], False))
+    get("rln_witness_path_elements", ser.vec_fr_to_bytes(elems, False))
+    get("rln_witness_path_index", ser.vec_u8_to_bytes(idxs, False))
+
+    # multi constructor round-trip
+    ids = [1, 4, 0, 0]
+    sel = [1, 1, 0, 0]
+    ids_flat = b"".join(fr(i) for i in ids)
+    assert lib.rln_vec_fr_build(ids_flat, len(ids_flat), 0, ctypes.byref(buf)) == 0
+    ids_vec = take(lib, buf)
+    assert lib.rln_vec_u8_build(bytes(sel), len(sel), 0, ctypes.byref(buf)) == 0
+    sel_vec = take(lib, buf)
+    assert (
+        lib.rln_witness_build_multi(
+            fr(secret), ctypes.c_uint64(limit),
+            ids_vec, ctypes.c_size_t(len(ids_vec)),
+            sel_vec, ctypes.c_size_t(len(sel_vec)),
+            elems_vec, ctypes.c_size_t(len(elems_vec)),
+            idx_vec, ctypes.c_size_t(len(idx_vec)),
+            fr(x), fr(ext), 0, ctypes.byref(buf),
+        )
+        == 0
+    ), lib.rln_last_error()
+    wire_m = take(lib, buf)
+    want_m = ser.rln_witness_to_bytes(
+        RLNWitnessInput.new_multi(
+            secret, limit, ids, elems, idxs, x, ext, [bool(s) for s in sel]
+        ),
+        False,
+    )
+    assert wire_m == want_m
+    b = RlnBuffer()
+    assert lib.rln_witness_message_ids(wire_m, len(wire_m), 0, ctypes.byref(b)) == 0
+    assert take(lib, b) == ser.vec_fr_to_bytes(ids, False)
+
+
+def test_ffi_fr_arithmetic(lib):
+    """CFr helper parity with host big-int math (reference ffi_utils.rs)."""
+    from zerokit_tpu.constants import R
+
+    a, b = 123456789123456789 % R, hash_to_field_le(b"fr-op-b")
+    buf = RlnBuffer()
+
+    def binop(name, want):
+        fn = getattr(lib, name)
+        assert fn(fr(a), fr(b), 0, ctypes.byref(buf)) == 0, lib.rln_last_error()
+        assert take(lib, buf) == fr(want), name
+
+    binop("rln_fr_add", (a + b) % R)
+    binop("rln_fr_sub", (a - b) % R)
+    binop("rln_fr_mul", a * b % R)
+    binop("rln_fr_div", a * pow(b, -1, R) % R)
+    assert lib.rln_fr_neg(fr(a), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == fr((-a) % R)
+    assert lib.rln_fr_inv(fr(a), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == fr(pow(a, -1, R))
+    assert lib.rln_fr_from_uint64(ctypes.c_uint64(42), 0, ctypes.byref(buf)) == 0
+    assert take(lib, buf) == fr(42)
+    # division by zero is an error, not a crash
+    assert lib.rln_fr_div(fr(a), fr(0), 0, ctypes.byref(buf)) != 0
+    assert b"zero" in lib.rln_last_error()
+    # random: canonical and nondegenerate
+    assert lib.rln_fr_random(0, ctypes.byref(buf)) == 0
+    r1 = take(lib, buf)
+    assert lib.rln_fr_random(0, ctypes.byref(buf)) == 0
+    r2 = take(lib, buf)
+    assert r1 != r2
+    assert ser.bytes_to_fr(r1, False)[0] < R

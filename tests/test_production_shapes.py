@@ -1,6 +1,6 @@
 """Hermetic parity at production shapes (VERDICT r1 weak #5/#6).
 
-Every committed MSM test used n <= 16, so the PAD_GRANULARITY=4096 padding,
+Every committed MSM test used n <= 16, so the PAD_GRANULARITY padding,
 window-group, and chunked paths were exercised by nothing that runs. These
 tests drive exactly those paths against independent host oracles:
 
@@ -38,7 +38,7 @@ def _scalars_canon(rnd, n, batch):
 @pytest.mark.slow
 def test_msm_g1_production_shape_with_tail_and_mask():
     rnd = random.Random(42)
-    n, batch = 4100, 4  # crosses PAD_GRANULARITY with an irregular tail
+    n, batch = 4100, 4  # crosses the PAD_GRANULARITY boundary with an irregular tail
     # cyclic base points (MSM correctness is value-independent); a few
     # infinities exercise the padding representation
     base = [bn254.G1.mul(bn254.G1_GENERATOR, rnd.randrange(1, R)) for _ in range(64)]

@@ -42,7 +42,7 @@ def main():
         p = bn254.G1.add(p, gen)
     points = [pts[i % 64] for i in range(n)]
     msm = MSM(points, FqAdapter)
-    tables = msm.tables_packed()[0]
+    tables = msm.tables()[0]
     scal = rng.integers(0, 1 << 16, size=(NUM_LIMBS, n, batch), dtype=np.uint32)
     scalars = jax.numpy.asarray(scal)
     group = _window_group(batch, 1, N_WINDOWS)

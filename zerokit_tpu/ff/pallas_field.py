@@ -671,15 +671,22 @@ def _scan_identity_rows(like, components: int):
     return rows
 
 
-def _make_scan_kernel(components: int, kind: str, packed_io: bool = False):
+def _make_scan_kernel(
+    components: int, kind: str, packed_in: bool = False, packed_out: bool = False
+):
     """Rows are LIMB-MAJOR, word order (limb, comp, coord) — exactly the AoS
     table-row word order (tables_to_aos_s), so gathered rows feed the kernel
     with a pure reshape and the outputs row-gather the same way.
 
-    packed_io: HBM-facing rows pack limb PAIRS into one u32 word (word order
-    (limb_pair, comp, coord), value = limb[2j] | limb[2j+1] << 16) — limbs
-    are 16-bit so this halves the gather/transpose traffic of the fused MSM
-    around these scans. The carry scratch stays unpacked."""
+    packed_in / packed_out: the HBM-facing rows pack limb PAIRS into one u32
+    word (word order (limb_pair, comp, coord), value = limb[2j] |
+    limb[2j+1] << 16) — limbs are 16-bit so this halves the transpose/gather
+    traffic around these scans. Measured: packing the scan OUTPUTS pays
+    (the downstream coarse transpose + Q_d row gathers halve); packing the
+    mixed scan's INPUT does not (the sorted table-row gather is row-count
+    bound, and 64-byte rows gather SLOWER than 128-byte rows — sub-sector
+    granularity), so the fused MSM gathers unpacked table rows and packs
+    everything after. The carry scratch stays unpacked."""
     ra = row_adapter_for(components)
     C = components
     in_coords = 2 if kind == "mixed" else 3
@@ -732,31 +739,36 @@ def _make_scan_kernel(components: int, kind: str, packed_io: bool = False):
                 carry_ref[r] = rows[r]
 
         carry = load(carry_ref, 3, lead=False)
-        x = load(x_ref, in_coords, packed=packed_io)
+        x = load(x_ref, in_coords, packed=packed_in)
         if kind == "mixed":
             new = rcb_add_mixed(ra, carry, x)
-            store(out_ref, new, packed=packed_io)
+            store(out_ref, new, packed=packed_out)
             store(carry_ref, new, lead=False)
         else:  # exclusive projective prefixes
-            store(out_ref, carry, packed=packed_io)
+            store(out_ref, carry, packed=packed_out)
             new = rcb_add(ra, carry, x)
             store(carry_ref, new, lead=False)
 
     return kernel
 
 
-def _run_scan_kernel_impl(x_flat, components: int, kind: str, packed_io: bool = False):
+def _run_scan_kernel_impl(
+    x_flat,
+    components: int,
+    kind: str,
+    packed_in: bool = False,
+    packed_out: bool = False,
+):
     """x_flat: (k, in_rows, 8, w) -> (k, out_rows, 8, w) prefix points."""
     C = components
-    half = 2 if packed_io else 1
-    in_rows = (2 if kind == "mixed" else 3) * C * L // half
-    out_rows = 3 * C * L // half
+    in_rows = (2 if kind == "mixed" else 3) * C * L // (2 if packed_in else 1)
+    out_rows = 3 * C * L // (2 if packed_out else 1)
     k_steps, rows, _, w = x_flat.shape
     assert rows == in_rows
     name = f"g{'1' if C == 1 else '2'}_scan_{'mixed' if kind == 'mixed' else 'excl'}"
     lane_w = _lane_w(name)
     grid = (w // lane_w, k_steps)
-    kern = _make_scan_kernel(C, kind, packed_io)
+    kern = _make_scan_kernel(C, kind, packed_in, packed_out)
     in_specs = [
         pl.BlockSpec(
             (1, in_rows, 8, lane_w),
@@ -789,11 +801,15 @@ def _run_scan_kernel_impl(x_flat, components: int, kind: str, packed_io: bool = 
     )(*args)
 
 
-_run_scan_kernel = jax.jit(_run_scan_kernel_impl, static_argnums=(1, 2, 3))
+_run_scan_kernel = jax.jit(_run_scan_kernel_impl, static_argnums=(1, 2, 3, 4))
 
 
 def ec_scan_rows(
-    components: int, x_rows: jnp.ndarray, kind: str, packed_io: bool = False
+    components: int,
+    x_rows: jnp.ndarray,
+    kind: str,
+    packed_in: bool = False,
+    packed_out: bool = False,
 ) -> jnp.ndarray:
     """Grid-carry EC prefix scan over the leading k axis.
 
@@ -802,11 +818,10 @@ def ec_scan_rows(
     prefixes) and 3 for kind="excl" (projective inputs, exclusive prefixes).
     Returns (k, 16*C*3, N) projective prefix points in the same row order.
 
-    packed_io=True halves both row widths: words hold LIMB PAIRS
-    (limb[2j] | limb[2j+1] << 16) in (limb_pair, comp, coord) order.
+    packed_in / packed_out halve the respective row widths: words hold LIMB
+    PAIRS (limb[2j] | limb[2j+1] << 16) in (limb_pair, comp, coord) order.
     """
     C = components
-    half = 2 if packed_io else 1
     k_steps, in_rows, n = x_rows.shape
     name = f"g{'1' if C == 1 else '2'}_scan_{'mixed' if kind == 'mixed' else 'excl'}"
     blk = 8 * _lane_w(name)
@@ -817,7 +832,8 @@ def ec_scan_rows(
     # interpret mode runs eagerly: under jit the interpreter's op stream
     # would itself be compiled by XLA:CPU (minutes for the limb chains)
     run = _run_scan_kernel_impl if _FORCE_INTERPRET else _run_scan_kernel
-    out = run(x3, C, kind, packed_io)
+    out = run(x3, C, kind, packed_in, packed_out)
+    half = 2 if packed_out else 1
     return out.reshape(k_steps, 3 * C * L // half, target)[:, :, :n]
 
 

@@ -28,6 +28,7 @@ from .protocol.keygen import (
 )
 from .hash.poseidon import poseidon_hash
 from .protocol.slashing import recover_secret
+from .protocol.witness import RLNWitnessInput
 from .tree.merkle import FullMerkleTree, OptimalMerkleTree
 from .tree.pmtree import PmTree
 
@@ -463,3 +464,151 @@ def generate_proofs_batch(handle: int, count: int, witnesses_bytes: bytes, be: b
     ser._check_fully_read(off, len(witnesses_bytes))
     out = rln.generate_proofs(wits)
     return b"".join(ser.proof_v3_to_bytes(p, v) for p, v in out)
+
+
+# -- per-field witness accessors + component constructors --------------------
+# (reference ffi_rln_v3.rs:507-1605 per-field ergonomics: C callers build
+# and inspect witnesses without hand-rolling the wire layout)
+
+
+def witness_build_single(
+    secret: bytes, limit: int, message_id: int, path_elements_vec: bytes,
+    path_index_vec: bytes, x: bytes, external_nullifier: bytes, be: bool,
+) -> bytes:
+    """Component-wise Single witness constructor -> witness wire bytes.
+    path_elements_vec: vec<Fr> wire; path_index_vec: vec<u8> wire."""
+    elems, _ = ser.bytes_to_vec_fr(path_elements_vec, be)
+    idx, _ = ser.bytes_to_vec_u8(path_index_vec, be)
+    w = RLNWitnessInput.new_single(
+        _fr_from(secret, be), limit, message_id, elems, idx,
+        _fr_from(x, be), _fr_from(external_nullifier, be),
+    )
+    return ser.rln_witness_to_bytes(w, be)
+
+
+def witness_build_multi(
+    secret: bytes, limit: int, message_ids_vec: bytes, selector_vec: bytes,
+    path_elements_vec: bytes, path_index_vec: bytes, x: bytes,
+    external_nullifier: bytes, be: bool,
+) -> bytes:
+    """Component-wise Multi witness constructor -> witness wire bytes.
+    message_ids_vec: vec<Fr>; selector_vec: vec<u8> of 0/1."""
+    ids, _ = ser.bytes_to_vec_fr(message_ids_vec, be)
+    sel, _ = ser.bytes_to_vec_u8(selector_vec, be)
+    elems, _ = ser.bytes_to_vec_fr(path_elements_vec, be)
+    idx, _ = ser.bytes_to_vec_u8(path_index_vec, be)
+    w = RLNWitnessInput.new_multi(
+        _fr_from(secret, be), limit, ids, elems, idx,
+        _fr_from(x, be), _fr_from(external_nullifier, be),
+        [bool(s) for s in sel],
+    )
+    return ser.rln_witness_to_bytes(w, be)
+
+
+def _witness_of(witness_bytes: bytes, be: bool) -> "RLNWitnessInput":
+    w, read = ser.bytes_to_rln_witness(witness_bytes, be)
+    ser._check_fully_read(read, len(witness_bytes))
+    return w
+
+
+def witness_identity_secret(witness_bytes: bytes, be: bool) -> bytes:
+    return _fr_bytes(_witness_of(witness_bytes, be).identity_secret, be)
+
+
+def witness_user_message_limit(witness_bytes: bytes, be: bool) -> bytes:
+    return _fr_bytes(_witness_of(witness_bytes, be).user_message_limit, be)
+
+
+def witness_message_ids(witness_bytes: bytes, be: bool) -> bytes:
+    """Message id(s) as vec<Fr> wire bytes (Single: one entry)."""
+    w = _witness_of(witness_bytes, be)
+    ids = [w.message_id] if w.is_single else list(w.message_ids)
+    return ser.vec_fr_to_bytes(ids, be)
+
+
+def witness_x(witness_bytes: bytes, be: bool) -> bytes:
+    return _fr_bytes(_witness_of(witness_bytes, be).x, be)
+
+
+def witness_external_nullifier(witness_bytes: bytes, be: bool) -> bytes:
+    return _fr_bytes(_witness_of(witness_bytes, be).external_nullifier, be)
+
+
+def witness_path_elements(witness_bytes: bytes, be: bool) -> bytes:
+    return ser.vec_fr_to_bytes(_witness_of(witness_bytes, be).path_elements, be)
+
+
+def witness_path_index(witness_bytes: bytes, be: bool) -> bytes:
+    return ser.vec_u8_to_bytes(
+        [int(i) for i in _witness_of(witness_bytes, be).identity_path_index], be
+    )
+
+
+def proof_values_ys(values_bytes: bytes, be: bool) -> bytes:
+    """Active y share(s) as vec<Fr> wire bytes (Single: one entry)."""
+    v, _ = ser.bytes_to_rln_proof_values(values_bytes, be)
+    if v.y is not None:
+        ys = [v.y]
+    else:
+        ys = [y for y, used in zip(v.ys, v.selector_used) if used]
+    return ser.vec_fr_to_bytes(ys, be)
+
+
+def proof_values_selectors(values_bytes: bytes, be: bool) -> bytes:
+    """selector_used as vec<u8> wire bytes (Single: [1])."""
+    v, _ = ser.bytes_to_rln_proof_values(values_bytes, be)
+    sel = [1] if v.y is not None else [1 if u else 0 for u in v.selector_used]
+    return ser.vec_u8_to_bytes(sel, be)
+
+
+# -- CFr arithmetic helpers (reference ffi_utils.rs CFr ops) -----------------
+
+
+def fr_binop(op: str, a: bytes, b: bytes, be: bool) -> bytes:
+    from .constants import R as _R
+
+    x, y = _fr_from(a, be), _fr_from(b, be)
+    if op == "add":
+        r = (x + y) % _R
+    elif op == "sub":
+        r = (x - y) % _R
+    elif op == "mul":
+        r = (x * y) % _R
+    elif op == "div":
+        if y % _R == 0:
+            raise ZeroDivisionError("Fr division by zero")
+        r = x * pow(y, -1, _R) % _R
+    else:
+        raise ValueError(f"unknown Fr op {op!r}")
+    return _fr_bytes(r, be)
+
+
+def fr_unop(op: str, a: bytes, be: bool) -> bytes:
+    from .constants import R as _R
+
+    x = _fr_from(a, be)
+    if op == "neg":
+        r = (-x) % _R
+    elif op == "inv":
+        if x % _R == 0:
+            raise ZeroDivisionError("Fr inverse of zero")
+        r = pow(x, -1, _R)
+    else:
+        raise ValueError(f"unknown Fr op {op!r}")
+    return _fr_bytes(r, be)
+
+
+def fr_from_uint64(v: int, be: bool) -> bytes:
+    return _fr_bytes(int(v), be)
+
+
+def fr_random(be: bool) -> bytes:
+    """Uniform Fr element (rejection-sampled, matching ark Fr::rand)."""
+    import secrets as _secrets
+
+    from .constants import R as _R
+
+    while True:
+        v = _secrets.randbits(254)
+        if v < _R:
+            return _fr_bytes(v, be)

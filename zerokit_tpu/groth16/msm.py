@@ -63,7 +63,12 @@ N_WINDOWS = 32  # 256 bits / 8
 # batch-class experiments (tools/msm_profile.py).
 MAX_CGB = int(os.environ.get("ZK_MAX_CGB", "1024"))
 K_BLOCK = 32  # intra-block scan length (n is padded to a multiple)
-PAD_GRANULARITY = 4096  # base sets pad up so equal-size MSMs share a compile
+# Base sets pad up so equal-size MSMs share a compile. 2048 (not 4096) since
+# round 5: the depth-20 query sets (5,851 points) land on n = 6144 instead of
+# 8192 — 25% less sort/gather/fine-scan work in four of the five proving MSMs
+# (the h query is exactly the 8192 domain and keeps its own class). The fused
+# sort handles non-power-of-two n via ceil-log2 packed keys.
+PAD_GRANULARITY = 2048
 # Max lanes per pipeline pass: larger batches stream through the SAME
 # compiled programs in LANE_BATCH-sized chunks. The pin exists because every
 # batch size class is a fresh set of program shapes (a multi-minute compile
@@ -440,7 +445,6 @@ class MSM:
         self.points = jnp.asarray(encode_affine_points(points, adapter))
         self._prim_fns = _prims(adapter)
         self._tables = None
-        self._tables_packed = None
         # the single-program MSM pass (msm_fused.py) needs the Pallas group
         # laws and a TPU-friendly compiler; the eager pipeline stays the
         # default on CPU (XLA:CPU compile economy — see module docstring)
@@ -454,7 +458,7 @@ class MSM:
         self._fused = (
             msm_fused.available()
             and os.environ.get("ZK_FUSED_MSM", "1") == "1"
-            and self.n & (self.n - 1) == 0
+            and self.n % K_BLOCK == 0
         )
 
     def tables(self) -> jnp.ndarray:
@@ -466,13 +470,6 @@ class MSM:
             self._tables = tables_to_aos_s(self.adapter, t)
         return self._tables
 
-    def tables_packed(self) -> jnp.ndarray:
-        """Half-width AoS rows (limb pairs per word) for the fused path."""
-        if self._tables_packed is None:
-            self._tables_packed = pack_aos_rows(
-                self.tables(), self.adapter.components
-            )
-        return self._tables_packed
 
     def __call__(
         self, scalars_canon: jnp.ndarray, mask: Optional[jnp.ndarray] = None
@@ -504,7 +501,7 @@ class MSM:
 
             try:
                 return fused_msm_pass(
-                    self.adapter, self.tables_packed(), scalars, self.n,
+                    self.adapter, self.tables(), scalars, self.n,
                     self.n_windows, self.c_bits,
                 )
             except Exception as e:  # remote-compiler rejection: eager fallback
@@ -600,7 +597,7 @@ class FusedMSMGroup:
     def tables_cat(self):
         if self._tables_cat is None:
             self._tables_cat = jnp.concatenate(
-                [m.tables_packed()[0] for m in self.msms], axis=0
+                [m.tables()[0] for m in self.msms], axis=0
             )
         return self._tables_cat
 

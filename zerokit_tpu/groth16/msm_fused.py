@@ -71,9 +71,9 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
     k = block_size_for(n)
     assert n_windows % group == 0
     n_groups = n_windows // group
-    assert n & (n - 1) == 0, "fused MSM requires power-of-two base size"
-    idx_bits = n.bit_length() - 1
-    # packed sort keys are (digit << idx_bits) | index in uint32
+    # packed sort keys are (digit << idx_bits) | index in uint32; n need not
+    # be a power of two (only K_BLOCK-aligned) — idx_bits covers [0, n)
+    idx_bits = (n - 1).bit_length()
     assert c_bits + idx_bits <= 32, "packed sort key overflows uint32"
     per_limb = 16 // c_bits
     mask = np.uint32(n_buckets - 1)
@@ -104,10 +104,11 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
         return jnp.squeeze(xs, axis=axis)
 
     nb_blk = n // k  # blocks per window
-    # HBM-facing AoS rows pack limb pairs per u32 word (limbs are 16-bit):
-    # halves the table gather, the fine/coarse transposes, and the Q_d row
-    # gathers — the scan kernels unpack/repack in VMEM (packed_io)
-    rows_in = NUM_LIMBS * comps * 2 // 2
+    # The scan OUTPUTS pack limb pairs per u32 word (limbs are 16-bit):
+    # halves the fine->coarse transpose and the Q_d row gathers. The table
+    # gather stays on unpacked 128-byte rows — it is row-count bound and
+    # 64-byte rows gather SLOWER (sub-sector granularity; measured).
+    rows_in = NUM_LIMBS * comps * 2
     rows_out = NUM_LIMBS * comps * 3 // 2
 
     def run(tables_flat, scalars):
@@ -137,7 +138,7 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
             # -- stable sort by digit via packed keys --------------------
             keys = (dg << idx_bits) | iota_n  # (G, n, B)
             skeys = jax.lax.sort(keys, dimension=1)
-            order = (skeys & jnp.uint32(n - 1)).astype(jnp.int32)
+            order = (skeys & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
             # -- gather AoS table rows in sorted order, k-major so the
             #    fine scan consumes them with a pure 2D transpose ---------
             base = (
@@ -171,7 +172,7 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
             lanes = group * nb_blk * batch
             xk = jnp.swapaxes(rows.reshape(k, lanes, rows_in), 1, 2)
             fine_k = pf.ec_scan_rows(
-                comps, xk, "mixed", packed_io=True
+                comps, xk, "mixed", packed_out=True
             )  # (k, rows_out, lanes)
             if stage == "fine":
                 cuts.append(fine_k.sum())
@@ -182,7 +183,7 @@ def _build_fused(adapter, n: int, n_windows: int, c_bits: int, group: int,
                 totals.reshape(rows_out, group, nb_blk, batch), 2, 0
             ).reshape(nb_blk, rows_out, group * batch)
             coarse_k = pf.ec_scan_rows(
-                comps, tx, "excl", packed_io=True
+                comps, tx, "excl", packed_in=True, packed_out=True
             )  # (NB, rows_out, G*B)
             if stage == "coarse":
                 cuts.append(coarse_k.sum() + fine_k.sum())
