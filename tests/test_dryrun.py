@@ -20,6 +20,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.dryrun
 def test_dryrun_ladder_within_budget():
     env = dict(os.environ)
+    # The driver runs dryrun_multichip under a forced 8-device CPU platform;
+    # replicate that so the gate is hermetic even on a TPU-attached host
+    # (without JAX_PLATFORMS=cpu the subprocess would pick the 1-chip TPU).
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         cwd=REPO,

@@ -135,3 +135,46 @@ def test_ntt_real_domain_2e13_vs_host_oracle():
         col = [cols[i][b] for i in range(n)]
         assert [int(x) % R for x in got_f[:, b]] == _host_fft(col)
         assert [int(x) % R for x in got_i[:, b]] == _host_fft(col, invert=True)
+
+
+def test_qap_device_witness_map_vs_host_map():
+    """Device witness map (matvec + gather-free coset lifts) vs the native
+    host-integer map on a tiny synthetic circuit — covers the TPU-default
+    device path, which the CPU suite otherwise never runs (the QAP backend
+    policy routes CPU hosts to the host map). Reference semantics:
+    rln/src/circuit/qap.rs:30-98."""
+    from zerokit_tpu.circuit.zkey import ConstraintMatrices
+    from zerokit_tpu.ff.field import FrField
+    from zerokit_tpu.groth16.qap import WitnessMapper
+
+    rnd = random.Random(9)
+    n_constraints, n_instance, n_wires, batch = 11, 3, 9, 3
+    def rand_rows(max_nnz):
+        rows = []
+        for _ in range(n_constraints):
+            nnz = rnd.randrange(0, max_nnz + 1)
+            rows.append(
+                [(rnd.randrange(1, R), rnd.randrange(n_wires)) for _ in range(nnz)]
+            )
+        return rows
+
+    m = ConstraintMatrices(
+        num_instance_variables=n_instance,
+        num_witness_variables=n_wires - n_instance,
+        num_constraints=n_constraints,
+        a_num_non_zero=0,
+        b_num_non_zero=0,
+        c_num_non_zero=0,
+        a=rand_rows(4),
+        b=rand_rows(3),
+        c=[],
+    )
+    mapper = WitnessMapper(m)
+    vals = [[rnd.randrange(R) for _ in range(batch)] for _ in range(n_wires)]
+    enc = encode_canonical_fast(
+        [vals[i][b] for i in range(n_wires) for b in range(batch)]
+    ).reshape(16, n_wires, batch)
+    assignment = FrField.to_mont(enc)
+    host = np.asarray(mapper._witness_map_host(assignment))
+    dev = np.asarray(mapper._witness_map_body(assignment))
+    assert np.array_equal(host, dev)

@@ -14,11 +14,13 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.makedirs("/tmp/zerokit_tpu_xla_cache", exist_ok=True)
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/zerokit_tpu_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from zerokit_tpu.runtime.cache import enable_persistent_cache
+
+# Must match bench.py exactly (fingerprint-keyed subdir) or the warmed
+# entries land in a directory the bench never reads.
+enable_persistent_cache()
 
 
 def log(msg):

@@ -100,7 +100,7 @@ class Segment:
     ia: np.ndarray
     ib: np.ndarray
     ic: np.ndarray
-    out: np.ndarray
+    write_start: int  # first slot of the segment's contiguous step windows
     div_ia: np.ndarray  # Div nodes executed after the scan: (n,) each
     div_ib: np.ndarray
     div_out: np.ndarray
@@ -119,6 +119,7 @@ class CompiledGraph:
     inputs_size: int
     segments: List[Segment]
     output_slots: np.ndarray  # (n_signals,)
+    scratch_write: int = 0  # W-slot window that padded steps write into
 
 
 def compile_graph(graph: g.Graph, reuse_slots: bool = True) -> CompiledGraph:
@@ -180,63 +181,29 @@ def compile_graph(graph: g.Graph, reuse_slots: bool = True) -> CompiledGraph:
     if cur_nodes:
         raw_segments.append((cur_kind or "lean", cur_nodes, []))
 
-    # execution order for register allocation
-    exec_order: List[int] = []
-    for _, scan_nodes, div_nodes in raw_segments:
-        exec_order.extend(scan_nodes)
-        exec_order.extend(div_nodes)
-    exec_pos = {i: pos for pos, i in enumerate(exec_order)}
-
-    # last use position of each node value. Seed with the node's own execution
-    # position: a value with no consumers (dead node) still writes its slot at
-    # that step, so its slot must not be recycled earlier.
-    INF = 1 << 60
-    last_use = [exec_pos.get(i, 0) for i in range(n)]
-    for i, node in enumerate(nodes):
-        deps = ()
-        if node.kind == g.K_UNO:
-            deps = (node.a,)
-        elif node.kind == g.K_DUO:
-            deps = (node.a, node.b)
-        elif node.kind == g.K_TRES:
-            deps = (node.a, node.b, node.c)
-        for d in deps:
-            last_use[d] = max(last_use[d], exec_pos.get(i, 0))
-    for s in graph.signals:
-        last_use[s] = INF
-
-    # slot allocation. slot 0 = scratch for NOP padding.
+    # Slot allocation is APPEND-ONLY: each scan step owns a contiguous W-slot
+    # window and a node's slot is its window position, so the scan body's
+    # write is one dynamic_update_slice at start = write_start + t*W — no
+    # scatter. (The round-4 design register-allocated slots with reuse and
+    # wrote via `.at[:, out].set`; the 4-index dynamic scatter per step
+    # dominated the evaluator's device time on TPU.) Values are never
+    # overwritten; the buffer grows to ~W * n_steps slots, a deliberate
+    # memory-for-scatter trade (~40K slots for the depth-20 graph).
+    # slot 0 = scratch zero that NOP pad lanes read (never written).
     slot_of = [-1] * n
-    free: List[int] = []
     next_slot = 1
-    release_at: Dict[int, List[int]] = {}
 
-    def alloc(i: int):
-        nonlocal next_slot
-        if free and reuse_slots:
-            slot_of[i] = free.pop()
-        else:
-            slot_of[i] = next_slot
-            next_slot += 1
-        if last_use[i] != INF and reuse_slots:
-            release_at.setdefault(last_use[i], []).append(slot_of[i])
-
-    # constants and inputs live from the start
     const_nodes = [i for i in range(n) if nodes[i].kind == g.K_CONST]
     input_nodes = [i for i in range(n) if nodes[i].kind == g.K_INPUT]
-    for i in const_nodes:
-        alloc(i)
-    for i in input_nodes:
-        alloc(i)
+    for i in const_nodes + input_nodes:
+        slot_of[i] = next_slot
+        next_slot += 1
 
-    # walk execution order, allocating outputs and freeing dead slots.
-    # free only slots whose last use is strictly before the current step to
-    # keep gather-before-scatter safe within a step.
     segments: List[Segment] = []
-    pos = 0
     for kind, scan_nodes, div_nodes in raw_segments:
-        steps_ops, steps_ia, steps_ib, steps_ic, steps_out = [], [], [], [], []
+        steps_ops, steps_ia, steps_ib, steps_ic = [], [], [], []
         steps_nid = []
+        write_start = next_slot
         # chunk by level boundaries inside the segment: nodes are in level
         # order; nodes of the same level are independent. We must not put a
         # node in the same step as its operand; chunking within a single
@@ -249,9 +216,9 @@ def compile_graph(graph: g.Graph, reuse_slots: bool = True) -> CompiledGraph:
                 i1 += 1
             for c0 in range(i0, i1, W):
                 chunk = scan_nodes[c0 : min(c0 + W, i1)]
-                ops_row, ia_row, ib_row, ic_row, out_row = [], [], [], [], []
+                ops_row, ia_row, ib_row, ic_row = [], [], [], []
                 nid_row = list(chunk)
-                for i in chunk:
+                for lane, i in enumerate(chunk):
                     node = nodes[i]
                     if node.kind == g.K_UNO:
                         code, a, b, c = F_NEG, node.a, node.a, node.a
@@ -267,26 +234,18 @@ def compile_graph(graph: g.Graph, reuse_slots: bool = True) -> CompiledGraph:
                     ib_row.append(slot_of[b])
                     ic_row.append(slot_of[c])
                     ops_row.append(code)
-                    alloc(i)
-                    out_row.append(slot_of[i])
-                    pos += 1
-                # free slots dead before the next step starts (reads in a step
-                # happen before its writes, so end-of-step release is safe)
-                for rp in list(release_at.keys()):
-                    if rp < pos:
-                        free.extend(release_at.pop(rp))
+                    slot_of[i] = next_slot + lane
                 while len(ops_row) < W:
                     ops_row.append(F_NOP)
                     ia_row.append(0)
                     ib_row.append(0)
                     ic_row.append(0)
-                    out_row.append(0)
                     nid_row.append(-1)
+                next_slot += W  # pad lanes own (and zero) their slots
                 steps_ops.append(ops_row)
                 steps_ia.append(ia_row)
                 steps_ib.append(ib_row)
                 steps_ic.append(ic_row)
-                steps_out.append(out_row)
                 steps_nid.append(nid_row)
             i0 = i1
         div_ia, div_ib, div_out = [], [], []
@@ -294,12 +253,9 @@ def compile_graph(graph: g.Graph, reuse_slots: bool = True) -> CompiledGraph:
             node = nodes[i]
             div_ia.append(slot_of[node.a])
             div_ib.append(slot_of[node.b])
-            alloc(i)
-            div_out.append(slot_of[i])
-            pos += 1
-        for rp in list(release_at.keys()):
-            if rp < pos:
-                free.extend(release_at.pop(rp))
+            slot_of[i] = next_slot
+            div_out.append(next_slot)
+            next_slot += 1
 
         def arr(x, dtype=np.int32):
             return np.asarray(x, dtype=dtype)
@@ -311,7 +267,7 @@ def compile_graph(graph: g.Graph, reuse_slots: bool = True) -> CompiledGraph:
                 ia=arr(steps_ia),
                 ib=arr(steps_ib),
                 ic=arr(steps_ic),
-                out=arr(steps_out),
+                write_start=write_start,
                 div_ia=arr(div_ia),
                 div_ib=arr(div_ib),
                 div_out=arr(div_out),
@@ -319,6 +275,8 @@ def compile_graph(graph: g.Graph, reuse_slots: bool = True) -> CompiledGraph:
                 div_node_ids=arr(div_nodes, np.int64),
             )
         )
+    scratch_write = next_slot  # W-slot window that padded-out steps write
+    next_slot += W
 
     const_values = FR.encode([nodes[i].const % R for i in const_nodes])
     if const_values.ndim == 1:
@@ -333,6 +291,7 @@ def compile_graph(graph: g.Graph, reuse_slots: bool = True) -> CompiledGraph:
         inputs_size=g.inputs_size(nodes),
         segments=segments,
         output_slots=np.asarray([slot_of[s] for s in graph.signals], dtype=np.int32),
+        scratch_write=scratch_write,
     )
 
 
@@ -437,18 +396,20 @@ def _step_candidates(a, b, c, rich: bool):
 def _scan_fn(kind: str, n_steps: int):
     rich = kind == "rich"
 
-    def run(buf, ops, ia, ib, ic, out):
+    def run(buf, ops, ia, ib, ic, starts):
         def body(buf, step):
-            op, sia, sib, sic, sout = step
+            op, sia, sib, sic, start = step
             a = buf[:, sia]
             b = buf[:, sib]
             c = buf[:, sic]
             cands = _step_candidates(a, b, c, rich)
             which = jnp.broadcast_to(op[None, :, None], a.shape)
             res = jax.lax.select_n(which, *cands)
-            return buf.at[:, sout].set(res), None
+            # contiguous W-slot window write — no scatter (see compile_graph)
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, res, start, axis=1)
+            return buf, None
 
-        buf, _ = jax.lax.scan(body, buf, (ops, ia, ib, ic, out))
+        buf, _ = jax.lax.scan(body, buf, (ops, ia, ib, ic, starts))
         return buf
 
     return jax.jit(run, donate_argnums=(0,))
@@ -462,18 +423,27 @@ def _div_apply(buf, ia, ib, out):
     return buf.at[:, out].set(res)
 
 
-def _pad_steps(seg: Segment, multiple: int = 64):
+def _pad_steps(seg: Segment, scratch_write: int, multiple: int = 64):
+    """Pads the step count to a size class; padded steps are all-NOP rows
+    that write the dedicated scratch window. Returns (ops, ia, ib, ic,
+    starts) with starts[t] the write offset of step t."""
     n = seg.ops.shape[0]
     target = max(multiple, ((n + multiple - 1) // multiple) * multiple)
     pad = target - n
+    starts = np.concatenate(
+        [
+            seg.write_start + W * np.arange(n, dtype=np.int32),
+            np.full(pad, scratch_write, dtype=np.int32),
+        ]
+    )
     if pad == 0:
-        return seg.ops, seg.ia, seg.ib, seg.ic, seg.out
+        return seg.ops, seg.ia, seg.ib, seg.ic, starts
 
     def p(x):
         fill = np.zeros((pad, W), dtype=x.dtype)
         return np.concatenate([x, fill], axis=0)
 
-    return p(seg.ops), p(seg.ia), p(seg.ib), p(seg.ic), p(seg.out)
+    return p(seg.ops), p(seg.ia), p(seg.ib), p(seg.ic), starts
 
 
 class WitnessEvaluator:
@@ -500,7 +470,7 @@ class WitnessEvaluator:
         buf = buf.at[:, jnp.asarray(cg.input_slots)].set(FrField.to_mont(inp))
         for seg in cg.segments:
             if seg.ops.size:
-                ops, ia, ib, ic, out = _pad_steps(seg)
+                ops, ia, ib, ic, starts = _pad_steps(seg, cg.scratch_write)
                 fn = _scan_fn(seg.kind, ops.shape[0])
                 buf = fn(
                     buf,
@@ -508,7 +478,7 @@ class WitnessEvaluator:
                     jnp.asarray(ia),
                     jnp.asarray(ib),
                     jnp.asarray(ic),
-                    jnp.asarray(out),
+                    jnp.asarray(starts),
                 )
             if seg.div_ia.size:
                 buf = _div_apply(

@@ -41,6 +41,24 @@ Proof = Tuple[object, object, object]  # (a: G1 affine, b: G2 affine, c: G1 affi
 MIN_BATCH = 4
 
 
+def _eval_lane_batch() -> int:
+    """Streaming chunk for the witness evaluator — deliberately LARGER than
+    the MSM LANE_BATCH: the evaluator's cost is scan-step latency (~10K tiny
+    sequential steps), which is nearly flat in the lane count, so wide
+    chunks amortize it ~linearly while the buffer stays a few hundred MB.
+    Override with ZK_EVAL_LANE_BATCH."""
+    import os
+
+    forced = os.environ.get("ZK_EVAL_LANE_BATCH")
+    if forced:
+        return int(forced)
+    from ..ff import pallas_field as pf
+
+    from .msm import LANE_BATCH
+
+    return 256 if pf.available() else LANE_BATCH
+
+
 def _padded_batch(b: int) -> int:
     """Pads batch sizes to powers of two so device programs compile once per
     size class (TPU compiles of the proving pipeline are expensive)."""
@@ -154,9 +172,7 @@ class Groth16Prover:
         The batch axis is padded to a power-of-two size class (the padding
         lanes replicate lane 0); callers slice back down."""
         if self.evaluator is not None:
-            from .msm import LANE_BATCH
-
-            chunk = LANE_BATCH * (
+            chunk = _eval_lane_batch() * (
                 self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
             )
             if batch > chunk:  # reuse the LANE_BATCH-class compiled evaluator

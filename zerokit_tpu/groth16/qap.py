@@ -39,16 +39,24 @@ class SparseMatrix:
     def __init__(self, rows: List[List[Tuple[int, int]]], domain_size: int):
         coo_rows, coo_wires, coeffs = [], [], []
         max_row_nnz = 1
+        # COO entries are emitted row-major, so each output row's nonzeros
+        # form a contiguous [start, end) run — recorded statically so the
+        # matvec's segment sum becomes a cumsum + two constant-index gathers
+        # (no scatter-add; see sparse_matvec).
+        starts = np.zeros(domain_size, dtype=np.int32)
+        ends = np.zeros(domain_size, dtype=np.int32)
         for r, row in enumerate(rows):
+            starts[r] = len(coo_rows)
             for coeff, wire in row:
                 coo_rows.append(r)
                 coo_wires.append(wire)
                 coeffs.append(coeff)
-        for r in set(coo_rows):
-            cnt = coo_rows.count(r)
-            max_row_nnz = max(max_row_nnz, cnt)
+            ends[r] = len(coo_rows)
+            max_row_nnz = max(max_row_nnz, len(row))
         self.rows = np.asarray(coo_rows, dtype=np.int32)
         self.wires = np.asarray(coo_wires, dtype=np.int32)
+        self.seg_starts = starts
+        self.seg_ends = ends
         self.coeffs = np.asarray(FR.encode(coeffs), dtype=np.uint32).reshape(
             NUM_LIMBS, len(coeffs)
         )
@@ -83,11 +91,16 @@ def sparse_matvec(matrix: SparseMatrix, assignment: jnp.ndarray) -> jnp.ndarray:
     z = assignment[:, jnp.asarray(matrix.wires)]  # (16, nnz, B)
     coeffs = jnp.asarray(matrix.coeffs)[:, :, None]
     prod = FrField.mul(z, jnp.broadcast_to(coeffs, z.shape))  # (16, nnz, B)
-    # segment-sum rows: uint32 limb sums of <= max_row_nnz terms stay exact
-    sums = jax.ops.segment_sum(
-        jnp.moveaxis(prod, 1, 0), jnp.asarray(matrix.rows), num_segments=matrix.domain_size
-    )  # (domain, 16, B)
-    sums = jnp.moveaxis(sums, 0, 1)  # (16, domain, B)
+    # Segment sums via exclusive cumsum + two constant-index gathers (the
+    # row runs are contiguous and their boundaries static): exact in u32 —
+    # per-limb running totals stay < nnz * 2^16 < 2^31. Scatter-free: a
+    # segment_sum here lowers to a dynamic scatter-add, which dominates the
+    # matvec on TPU.
+    zero = jnp.zeros((NUM_LIMBS, 1) + prod.shape[2:], dtype=U32)
+    csum = jnp.concatenate([zero, jnp.cumsum(prod, axis=1, dtype=U32)], axis=1)
+    sums = (
+        csum[:, jnp.asarray(matrix.seg_ends)] - csum[:, jnp.asarray(matrix.seg_starts)]
+    )  # (16, domain, B); per-limb row sums of <= max_row_nnz 16-bit terms
     # 17 limbs absorb all carries: the sum is < max_row_nnz * p < 2^270
     carry_limbs, _ = _carry_fold(sums, NUM_LIMBS + 1)
     return _reduce_partial(carry_limbs, matrix.max_row_nnz)
@@ -139,9 +152,7 @@ class WitnessMapper:
         self._fused_map = jax.jit(self._witness_map_body) if pf.available() else None
 
     def _coset_lift(self, evals: jnp.ndarray) -> jnp.ndarray:
-        poly = ntt.ifft(evals)
-        shifted = ntt.distribute_powers(poly, self.root_2n)
-        return ntt.fft(shifted)
+        return ntt.coset_lift(evals, self.root_2n)
 
     def _coset_lift_sharded(self, evals: jnp.ndarray) -> jnp.ndarray:
         from ..parallel.ntt_sharded import sharded_fft
