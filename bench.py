@@ -107,7 +107,11 @@ def host_assignments(rln, witnesses):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # Default batch = the TPU LANE_BATCH class (64): a b16 run would compile
+    # a SEPARATE b16 program class first and then recompile the b64 class on
+    # escalation — ~15 extra minutes of cold-cache compiles for a number the
+    # b64 class supersedes.
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     depth = int(os.environ.get("BENCH_DEPTH", "20"))
     device_witness = os.environ.get("BENCH_DEVICE_WITNESS", "1") == "1"

@@ -31,13 +31,18 @@ def log(msg):
 
 
 def _timeit(fn, *args, rounds=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Completion is forced by a device->host transfer of a scalar checksum —
+    this backend's block_until_ready can return early (see msm_profile)."""
+    import jax.numpy as jnp
+
+    def run():
+        return int(jnp.sum(fn(*args).astype(jnp.uint32)))
+
+    run()
     best = float("inf")
     for _ in range(rounds):
         t0 = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        run()
         best = min(best, time.time() - t0)
     return best
 
@@ -65,8 +70,9 @@ def main():
         a[15] &= 0x0FFF
         return a
 
-    assignment = rand_limbs(n_wires)
-    evals = rand_limbs(n)
+    assignment = jax.device_put(rand_limbs(n_wires))
+    evals = jax.device_put(rand_limbs(n))
+    jax.block_until_ready((assignment, evals))
 
     dt = _timeit(lambda x: sparse_matvec(mapper.a, x), assignment)
     log(f"matvec_a:    {dt * 1e3:8.2f} ms")

@@ -109,6 +109,11 @@ def _const_rows(limbs: np.ndarray, like) -> List:
     return [jnp.full_like(like, np.uint32(limbs[i])) for i in range(L)]
 
 
+def _const_rows32(limbs: np.ndarray, like) -> List:
+    """len(limbs) constant rows broadcast to like's shape (double-width)."""
+    return [jnp.full_like(like, np.uint32(v)) for v in limbs]
+
+
 def _mul_cols_rows(a: Sequence, b: Sequence, n_cols: int) -> List:
     """Schoolbook column accumulators of a*b as n_cols rows (< 2^21 each)."""
     rows: List = [None] * (n_cols + 1)
@@ -345,6 +350,12 @@ class RowFqAdapter:
         return [[z] * L]
 
 
+_P2_LIMBS_FQ = np.array(
+    [((FQ.p * FQ.p) >> (LIMB_BITS * i)) & LIMB_MASK for i in range(2 * L)],
+    dtype=np.uint32,
+)
+
+
 class RowFq2Adapter:
     components = 2
     rf = ROW_FQ
@@ -363,18 +374,35 @@ class RowFq2Adapter:
 
     @classmethod
     def mul(cls, a, b):
+        """Karatsuba with LAZY reduction: the three products stay unreduced
+        (32-limb), the c0/c1 combinations happen in the double-width domain
+        with +p^2 / +2p^2 offsets keeping them non-negative, and ONE
+        Montgomery reduction lands each component (2p^2, 3p^2 < R*p so the
+        standard reduction bound holds). Saves one of three mont_reduces
+        per Fq2 multiply — the G2 scan kernels inherit."""
         rf = cls.rf
-        t0 = rf.mul(a[0], b[0])
-        t1 = rf.mul(a[1], b[1])
-        t2 = rf.mul(rf.add(a[0], a[1]), rf.add(b[0], b[1]))
-        return [rf.sub(t0, t1), rf.sub(rf.sub(t2, t0), t1)]
+        t0c = _mul_cols_rows(a[0], b[0], 2 * L)
+        t1c = _mul_cols_rows(a[1], b[1], 2 * L)
+        t2c = _mul_cols_rows(rf.add(a[0], a[1]), rf.add(b[0], b[1]), 2 * L)
+        t0, _ = _carry_fold_rows(t0c, 2 * L)  # < p^2 < 2^512: no carry out
+        t1, _ = _carry_fold_rows(t1c, 2 * L)
+        t2, _ = _carry_fold_rows(t2c, 2 * L)
+        p2 = _const_rows32(_P2_LIMBS_FQ, t0[0])
+        d1, _ = _sub_rows(p2, t1)  # p^2 - t1 >= 0 exact
+        d0, _ = _sub_rows(p2, t0)
+        c0_cols = [t0[i] + d1[i] for i in range(2 * L)]  # t0 - t1 + p^2
+        c1_cols = [t2[i] + d0[i] + d1[i] for i in range(2 * L)]  # t2-t0-t1+2p^2
+        return [rf.mont_reduce(c0_cols), rf.mont_reduce(c1_cols)]
 
     @classmethod
     def sqr(cls, a):
+        """(a0 + a1 b)(a0 + a1 b) = (a0+a1)(a0-a1) + 2 a0 a1 b: the doubling
+        of a0*a1 happens in the unreduced column domain — one reduction per
+        component."""
         rf = cls.rf
         c0 = rf.mul(rf.add(a[0], a[1]), rf.sub(a[0], a[1]))
-        t = rf.mul(a[0], a[1])
-        return [c0, rf.add(t, t)]
+        tc = _mul_cols_rows(a[0], a[1], 2 * L)
+        return [c0, rf.mont_reduce([c + c for c in tc])]
 
     @classmethod
     def is_zero(cls, a):
@@ -865,6 +893,19 @@ def mont_mul(spec_name: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         _flatten_elem(a2), _flatten_elem(b2), f"{spec_name}_mul", L
     )
     return out.reshape(L, -1)[:, :n].reshape(shape)
+
+
+def mont_from(spec_name: str, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery -> canonical on (16, *batch) u32 via the mul kernel:
+    a * 1 * R^-1 = from_mont(a). The XLA elementwise from_mont measured
+    ~10x slower at production lane counts (see mont_mul note)."""
+    one = jnp.concatenate(
+        [
+            jnp.ones((1,) + a.shape[1:], dtype=jnp.uint32),
+            jnp.zeros((L - 1,) + a.shape[1:], dtype=jnp.uint32),
+        ]
+    )
+    return mont_mul(spec_name, a, one)
 
 
 def ec_op(op: str, components: int, p: jnp.ndarray, q: jnp.ndarray = None) -> jnp.ndarray:

@@ -259,13 +259,18 @@ class Groth16Prover:
         with stage_timer(metrics, "qap_witness_map") as _:
             h = self.mapper.witness_map(assignment)
             h.block_until_ready()
+        from ..ff import pallas_field as pf
+
+        from_mont = (
+            (lambda x: pf.mont_from("fr", x)) if pf.available() else FrField.from_mont
+        )
         with stage_timer(metrics, "from_mont"):
-            z_canon = FrField.from_mont(assignment)
-            h_canon = FrField.from_mont(h)
+            z_canon = from_mont(assignment)
+            h_canon = from_mont(h)
             h_canon.block_until_ready()
         if self._g1_group is not None:
             with stage_timer(metrics, "msm_ab1l"):
-                l_aux = FrField.from_mont(assignment[:, self.num_inputs :])
+                l_aux = from_mont(assignment[:, self.num_inputs :])
                 acc_a, acc_b1, acc_l = self._g1_group([z_canon, z_canon, l_aux])
                 a_pts = self.msm_a.to_affine_ints(acc_a)
                 b1_pts = self.msm_b1.to_affine_ints(acc_b1)
@@ -282,7 +287,7 @@ class Groth16Prover:
             with stage_timer(metrics, "msm_b2"):
                 b2_pts = self.msm_b2.to_affine_ints(self.msm_b2(z_canon))
             with stage_timer(metrics, "msm_l"):
-                l_aux = FrField.from_mont(assignment[:, self.num_inputs :])
+                l_aux = from_mont(assignment[:, self.num_inputs :])
                 l_pts = self.msm_l.to_affine_ints(self.msm_l(l_aux))
             with stage_timer(metrics, "msm_h"):
                 h_pts = self.msm_h.to_affine_ints(self.msm_h(h_canon))

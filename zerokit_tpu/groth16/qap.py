@@ -34,32 +34,47 @@ class QAPError(ValueError):
 
 
 class SparseMatrix:
-    """COO form of one constraint matrix with Montgomery coefficients."""
+    """Constraint matrix bucketed by padded row density.
+
+    Rows are grouped into power-of-two nnz classes (pad = 2^ceil(log2 nnz));
+    each bucket stores static wire-index and Montgomery-coefficient arrays
+    padded with (wire 0, coeff 0). The matvec is then gather + multiply +
+    a static reshape-sum per bucket and one constant-index permutation back
+    to domain order — no scatter-add (dynamic scatters are slow on TPU) and
+    no cumsum (XLA:TPU lowers cumsum over ~10K elements to an O(n^2)
+    reduce-window; measured 1.9 s for one matvec at b64). Total padded
+    entries stay < 2x nnz (row densities: mean ~2, p99 <= 60)."""
 
     def __init__(self, rows: List[List[Tuple[int, int]]], domain_size: int):
-        coo_rows, coo_wires, coeffs = [], [], []
         max_row_nnz = 1
-        # COO entries are emitted row-major, so each output row's nonzeros
-        # form a contiguous [start, end) run — recorded statically so the
-        # matvec's segment sum becomes a cumsum + two constant-index gathers
-        # (no scatter-add; see sparse_matvec).
-        starts = np.zeros(domain_size, dtype=np.int32)
-        ends = np.zeros(domain_size, dtype=np.int32)
+        by_pad: dict = {}
         for r, row in enumerate(rows):
-            starts[r] = len(coo_rows)
-            for coeff, wire in row:
-                coo_rows.append(r)
-                coo_wires.append(wire)
-                coeffs.append(coeff)
-            ends[r] = len(coo_rows)
+            if not row:
+                continue
             max_row_nnz = max(max_row_nnz, len(row))
-        self.rows = np.asarray(coo_rows, dtype=np.int32)
-        self.wires = np.asarray(coo_wires, dtype=np.int32)
-        self.seg_starts = starts
-        self.seg_ends = ends
-        self.coeffs = np.asarray(FR.encode(coeffs), dtype=np.uint32).reshape(
-            NUM_LIMBS, len(coeffs)
-        )
+            pad = 1 << max(0, (len(row) - 1).bit_length())
+            by_pad.setdefault(pad, []).append((r, row))
+        self.buckets: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        out_rows: List[int] = []
+        for pad in sorted(by_pad):
+            rs = by_pad[pad]
+            wires = np.zeros((len(rs), pad), dtype=np.int32)
+            coeffs = [0] * (len(rs) * pad)
+            for i, (r, row) in enumerate(rs):
+                for j, (coeff, wire) in enumerate(row):
+                    wires[i, j] = wire
+                    coeffs[i * pad + j] = coeff
+                out_rows.append(r)
+            coeff_arr = np.asarray(FR.encode(coeffs), dtype=np.uint32).reshape(
+                NUM_LIMBS, len(rs) * pad
+            )
+            self.buckets.append((pad, wires, coeff_arr))
+        # perm[d] = concat position of row d's sum; absent rows -> zero slot
+        n_used = len(out_rows)
+        perm = np.full(domain_size, n_used, dtype=np.int32)
+        for pos, r in enumerate(out_rows):
+            perm[r] = pos
+        self.perm = perm
         self.domain_size = domain_size
         self.max_row_nnz = max_row_nnz
 
@@ -88,22 +103,29 @@ def sparse_matvec(matrix: SparseMatrix, assignment: jnp.ndarray) -> jnp.ndarray:
 
     assignment: (16, n_wires, B) Montgomery. Returns (16, domain_size, B).
     """
-    z = assignment[:, jnp.asarray(matrix.wires)]  # (16, nnz, B)
-    coeffs = jnp.asarray(matrix.coeffs)[:, :, None]
-    prod = FrField.mul(z, jnp.broadcast_to(coeffs, z.shape))  # (16, nnz, B)
-    # Segment sums via exclusive cumsum + two constant-index gathers (the
-    # row runs are contiguous and their boundaries static): exact in u32 —
-    # per-limb running totals stay < nnz * 2^16 < 2^31. Scatter-free: a
-    # segment_sum here lowers to a dynamic scatter-add, which dominates the
-    # matvec on TPU.
-    zero = jnp.zeros((NUM_LIMBS, 1) + prod.shape[2:], dtype=U32)
-    csum = jnp.concatenate([zero, jnp.cumsum(prod, axis=1, dtype=U32)], axis=1)
-    sums = (
-        csum[:, jnp.asarray(matrix.seg_ends)] - csum[:, jnp.asarray(matrix.seg_starts)]
-    )  # (16, domain, B); per-limb row sums of <= max_row_nnz 16-bit terms
+    from ..ff import pallas_field as pfmod
+
+    use_pallas = pfmod.available()
+    batch = assignment.shape[2:]
+    parts = []
+    for pad, wires, coeffs in matrix.buckets:
+        z = assignment[:, jnp.asarray(wires.reshape(-1))]  # (16, n_c*pad, B)
+        cf = jnp.asarray(coeffs).reshape((NUM_LIMBS, z.shape[1]) + (1,) * len(batch))
+        cfb = jnp.broadcast_to(cf, z.shape)
+        # the multiply runs in the Pallas mont_mul kernel on TPU — the XLA
+        # elementwise limb multiply measured ~14x slower (tools/ntt_micro.py)
+        prod = pfmod.mont_mul("fr", z, cfb) if use_pallas else FrField.mul(z, cfb)
+        # per-limb sums over the pad axis: <= 64 terms < 2^16 — exact in u32
+        sums = prod.reshape(
+            (NUM_LIMBS, wires.shape[0], pad) + batch
+        ).sum(axis=2, dtype=U32)
+        parts.append(sums)
+    zero = jnp.zeros((NUM_LIMBS, 1) + batch, dtype=U32)
+    cat = jnp.concatenate(parts + [zero], axis=1)  # (16, n_used + 1, B)
     # 17 limbs absorb all carries: the sum is < max_row_nnz * p < 2^270
-    carry_limbs, _ = _carry_fold(sums, NUM_LIMBS + 1)
-    return _reduce_partial(carry_limbs, matrix.max_row_nnz)
+    carry_limbs, _ = _carry_fold(cat, NUM_LIMBS + 1)
+    red = _reduce_partial(carry_limbs, matrix.max_row_nnz)
+    return red[:, jnp.asarray(matrix.perm)]  # static permutation to domain
 
 
 class WitnessMapper:
@@ -167,8 +189,25 @@ class WitnessMapper:
         a = jax.lax.dynamic_update_slice_in_dim(
             a, assignment[:, : self.num_inputs], self.num_constraints, axis=1
         )
-        c = FrField.mul(a, b)  # rows past num_constraints have b == 0, so
-        # c stays 0 there exactly as the reference requires (qap.rs:60-67)
+        from ..ff import pallas_ntt
+
+        batch = assignment.shape[2]
+        if pallas_ntt.available(self.domain_size, 3 * batch):
+            from ..ff.pallas_field import mont_mul
+
+            c = mont_mul("fr", a, b)  # rows past num_constraints have b == 0,
+            # so c stays 0 there exactly as the reference requires
+            # (qap.rs:60-67)
+            # One batched lift for a/b/c on the kernels' batch-second-minor
+            # layout: (16, n, 3B) -> (16, 3B, n), lift, combine, back.
+            stacked = jnp.concatenate([a, b, c], axis=2)
+            lifted = pallas_ntt.coset_lift_bn(
+                jnp.swapaxes(stacked, 1, 2), self.root_2n
+            )
+            la, lb, lc = jnp.split(lifted, 3, axis=1)
+            h_bn = FrField.sub(mont_mul("fr", la, lb), lc)
+            return jnp.swapaxes(h_bn, 1, 2)
+        c = FrField.mul(a, b)  # see note above
         ab = FrField.mul(self._coset_lift(a), self._coset_lift(b))
         return FrField.sub(ab, self._coset_lift(c))
 
