@@ -7,8 +7,11 @@ Usage: python tools/fused_check.py [n] [batch] [n_check] [lane_batch]
 Env:   FC_CURVE=g2 checks the G2 (Fq2) pipeline instead of G1.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from zerokit_tpu.runtime.cache import enable_persistent_cache
 

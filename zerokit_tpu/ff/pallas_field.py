@@ -379,8 +379,14 @@ class RowFq2Adapter:
         with +p^2 / +2p^2 offsets keeping them non-negative, and ONE
         Montgomery reduction lands each component (2p^2, 3p^2 < R*p so the
         standard reduction bound holds). Saves one of three mont_reduces
-        per Fq2 multiply — the G2 scan kernels inherit."""
+        per Fq2 multiply — the G2 scan kernels inherit. ZK_FQ2_LAZY=0
+        restores the plain 3-reduction form (A/B lever)."""
         rf = cls.rf
+        if os.environ.get("ZK_FQ2_LAZY", "1") != "1":
+            t0 = rf.mul(a[0], b[0])
+            t1 = rf.mul(a[1], b[1])
+            t2 = rf.mul(rf.add(a[0], a[1]), rf.add(b[0], b[1]))
+            return [rf.sub(t0, t1), rf.sub(rf.sub(t2, t0), t1)]
         t0c = _mul_cols_rows(a[0], b[0], 2 * L)
         t1c = _mul_cols_rows(a[1], b[1], 2 * L)
         t2c = _mul_cols_rows(rf.add(a[0], a[1]), rf.add(b[0], b[1]), 2 * L)

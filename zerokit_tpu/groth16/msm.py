@@ -81,6 +81,7 @@ PAD_GRANULARITY = 2048
 # Override with ZK_LANE_BATCH=<n>.
 
 
+@functools.lru_cache(maxsize=None)
 def _default_lane_batch() -> int:
     import os
 
@@ -92,7 +93,15 @@ def _default_lane_batch() -> int:
     return 64 if pf.available() else 16
 
 
-LANE_BATCH = _default_lane_batch()
+def __getattr__(name: str):
+    """LANE_BATCH is resolved LAZILY (PEP 562): computing it probes
+    jax.devices(), and doing that at import time initializes the JAX backend
+    before entry points (dryrun subprocesses, tests) can pin the platform —
+    on an accelerator-attached host that silently breaks the virtual
+    8-device CPU mesh. Import sites must read it at call time."""
+    if name == "LANE_BATCH":
+        return _default_lane_batch()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def encode_affine_points(points, adapter) -> np.ndarray:
@@ -433,7 +442,7 @@ class MSM:
         self.curve = CurveOps(adapter)
         self.n_windows = n_windows
         self.c_bits = c_bits
-        self.lane_batch = LANE_BATCH
+        self.lane_batch = _default_lane_batch()
         self.n_real = len(points)
         pad_to = max(
             PAD_GRANULARITY,
